@@ -1,0 +1,220 @@
+"""Configuration system.
+
+Reads the reference's JSON hyperparameter schema (see
+``/root/reference/jsonfiles/srncar.json:1-24`` and the loading sites
+``src/trainer.py:22-24`` / ``src/optimizer.py:31-33``) into typed, frozen
+dataclasses, and accepts a small set of extension keys for capabilities the
+reference lacks (hierarchical sampling, compute dtype, per-ray jitter).
+
+Unknown keys raise, so typos in experiment configs fail fast — the reference
+had no validation at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+# Keys understood at the top level of a hyperparameter JSON file. The first
+# group mirrors the reference schema exactly; the second group is our
+# extensions (all optional, all defaulted).
+_REFERENCE_KEYS = {
+    "net_hyperparams",
+    "data",
+    "N_samples",
+    "near",
+    "far",
+    "loss_reg_coef",
+    "lr_schedule",
+    "check_points",
+}
+_EXTENSION_KEYS = {
+    "N_importance",
+    "white_bg",
+    "shared_jitter",
+    "compute_dtype",
+    "weight_decay",
+    "hierarchical_share_weights",
+    "seed",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """MLP architecture hyperparameters (reference ``net_hyperparams``,
+    consumed by ``src/model.py:10-18``). Defaults match the shipped configs
+    (``jsonfiles/srncar.json:2-9``), not the code-default ``shape_blocks=2``.
+    """
+
+    shape_blocks: int = 3
+    texture_blocks: int = 1
+    W: int = 256
+    num_xyz_freq: int = 10
+    num_dir_freq: int = 4
+    latent_dim: int = 256
+
+    @property
+    def d_xyz(self) -> int:
+        return 3 + 6 * self.num_xyz_freq
+
+    @property
+    def d_viewdir(self) -> int:
+        return 3 + 6 * self.num_dir_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Volumetric sampling / compositing parameters.
+
+    ``n_samples``/``near``/``far`` map to the reference JSON keys
+    (``jsonfiles/srncar.json:15-17``). ``n_importance`` enables hierarchical
+    inverse-CDF sampling (absent from the reference — added per the paper,
+    NeRF arXiv 2003.08934 §5.2). ``shared_jitter=True`` replicates the
+    reference quirk of one jitter vector shared across all rays of an image
+    (``src/utils.py:27-29``); the default is standard per-ray stratification.
+    """
+
+    n_samples: int = 96
+    near: float = 0.8
+    far: float = 1.8
+    n_importance: int = 0
+    white_bg: bool = True
+    shared_jitter: bool = False
+    # When hierarchical sampling is on: reuse the coarse network for the fine
+    # pass (True) or keep a separate fine parameter set (False).
+    share_fine_weights: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LrSchedule:
+    """One entry of the reference ``lr_schedule`` list: step-halving —
+    lr * 2^-(step // interval) (``src/trainer.py:126-131``)."""
+
+    lr: float
+    interval: int
+    type: str = "step"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Reference ``data`` block (``jsonfiles/srncar.json:10-14``)."""
+
+    cat: str = "srn_cars"
+    splits: str = "cars_train"
+    data_dir: str = "data/ShapeNet_SRN"
+
+
+@dataclasses.dataclass(frozen=True)
+class Hparams:
+    net: NetConfig = dataclasses.field(default_factory=NetConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    loss_reg_coef: float = 1e-4
+    lr_model: LrSchedule = dataclasses.field(
+        default_factory=lambda: LrSchedule(lr=1e-4, interval=250_000)
+    )
+    lr_codes: LrSchedule = dataclasses.field(
+        default_factory=lambda: LrSchedule(lr=1e-3, interval=250_000)
+    )
+    check_points: int = 100_000
+    # torch.optim.AdamW default, which the reference uses implicitly
+    # (``src/trainer.py:117-121``).
+    weight_decay: float = 0.01
+    compute_dtype: str = "bfloat16"
+    seed: int = 0
+    raw: Optional[Dict[str, Any]] = None
+
+    def to_json_dict(self) -> Dict[str, Any]:
+        """Serialize back to the reference JSON schema (plus extensions), for
+        the run-dir snapshot the reference writes (``src/trainer.py:163-166``)."""
+        d: Dict[str, Any] = {
+            "net_hyperparams": dataclasses.asdict(self.net),
+            "data": dataclasses.asdict(self.data),
+            "N_samples": self.render.n_samples,
+            "near": self.render.near,
+            "far": self.render.far,
+            "loss_reg_coef": self.loss_reg_coef,
+            "lr_schedule": [
+                {"type": self.lr_model.type, "lr": self.lr_model.lr,
+                 "interval": self.lr_model.interval},
+                {"type": self.lr_codes.type, "lr": self.lr_codes.lr,
+                 "interval": self.lr_codes.interval},
+            ],
+            "check_points": self.check_points,
+            "N_importance": self.render.n_importance,
+            "white_bg": self.render.white_bg,
+            "shared_jitter": self.render.shared_jitter,
+            "hierarchical_share_weights": self.render.share_fine_weights,
+            "compute_dtype": self.compute_dtype,
+            "weight_decay": self.weight_decay,
+            "seed": self.seed,
+        }
+        return d
+
+
+def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
+    unknown = set(cfg) - _REFERENCE_KEYS - _EXTENSION_KEYS
+    if unknown and strict:
+        raise ValueError(f"Unknown hyperparameter keys: {sorted(unknown)}")
+
+    net = NetConfig(**cfg.get("net_hyperparams", {}))
+    data = DataConfig(**cfg.get("data", {}))
+    render = RenderConfig(
+        n_samples=int(cfg.get("N_samples", 96)),
+        near=float(cfg.get("near", 0.8)),
+        far=float(cfg.get("far", 1.8)),
+        n_importance=int(cfg.get("N_importance", 0)),
+        white_bg=bool(cfg.get("white_bg", True)),
+        shared_jitter=bool(cfg.get("shared_jitter", False)),
+        share_fine_weights=bool(cfg.get("hierarchical_share_weights", True)),
+    )
+    sched = cfg.get(
+        "lr_schedule",
+        [
+            {"type": "step", "lr": 1e-4, "interval": 250_000},
+            {"type": "step", "lr": 1e-3, "interval": 250_000},
+        ],
+    )
+    lr_model = LrSchedule(lr=float(sched[0]["lr"]), interval=int(sched[0]["interval"]),
+                          type=str(sched[0].get("type", "step")))
+    lr_codes = LrSchedule(lr=float(sched[1]["lr"]), interval=int(sched[1]["interval"]),
+                          type=str(sched[1].get("type", "step")))
+    return Hparams(
+        net=net,
+        data=data,
+        render=render,
+        loss_reg_coef=float(cfg.get("loss_reg_coef", 1e-4)),
+        lr_model=lr_model,
+        lr_codes=lr_codes,
+        check_points=int(cfg.get("check_points", 100_000)),
+        weight_decay=float(cfg.get("weight_decay", 0.01)),
+        compute_dtype=str(cfg.get("compute_dtype", "bfloat16")),
+        seed=int(cfg.get("seed", 0)),
+        raw=dict(cfg),
+    )
+
+
+def load_hparams(jsonfile: str, jsondir: str = "jsonfiles") -> Hparams:
+    """Load hyperparameters the way the reference CLIs do: a filename
+    resolved against a ``jsonfiles/`` directory (``src/trainer.py:22-24``),
+    or an absolute/relative path that exists as-is."""
+    path = jsonfile if os.path.isfile(jsonfile) else os.path.join(jsondir, jsonfile)
+    with open(path, "r") as f:
+        cfg = json.load(f)
+    return hparams_from_dict(cfg)
+
+
+def resolve_dtype(name: str):
+    import jax.numpy as jnp
+
+    table = {
+        "bfloat16": jnp.bfloat16,
+        "bf16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "f32": jnp.float32,
+    }
+    if name not in table:
+        raise ValueError(f"Unsupported compute dtype {name!r}")
+    return table[name]

@@ -1,0 +1,117 @@
+"""Depth sampling along rays: stratified (coarse) and inverse-CDF (fine).
+
+Reference semantics (``src/utils.py:21-32``): coarse z-values are the
+midpoints of a ``[near, far]`` linspace plus a uniform jitter of at most one
+half-cell — and, quirkily, ONE jitter vector shared by every ray of the
+image. The default here is standard per-ray stratification (one jitter per
+ray per cell); ``shared=True`` reproduces the reference quirk exactly for
+parity debugging.
+
+Hierarchical (importance) sampling is ABSENT from the reference despite the
+paper; :func:`sample_pdf` implements the standard NeRF inverse-CDF sampler
+(arXiv 2003.08934 §5.2) with static shapes and no data-dependent control
+flow, so it compiles cleanly under jit on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def fixed_zvals(near: float, far: float, n_samples: int) -> jnp.ndarray:
+    """Deterministic linspace z-values, the reference's ``z_fixed=True``
+    branch (``src/utils.py:24-25``). Shape (n_samples,)."""
+    return jnp.linspace(near, far, n_samples, dtype=jnp.float32)
+
+
+def stratified_zvals(
+    key: jax.Array,
+    near: float,
+    far: float,
+    n_samples: int,
+    num_rays: Optional[int] = None,
+    shared: bool = False,
+) -> jnp.ndarray:
+    """Jittered midpoint z-values.
+
+    Base grid: midpoints ``linspace(near + h, far - h, N)`` with
+    ``h = (far - near) / (2N)``, plus ``U[0, 1) * h`` jitter — exactly the
+    reference's formula (``src/utils.py:26-29``).
+
+    Returns shape ``(num_rays, n_samples)`` when ``num_rays`` is given and
+    ``shared`` is False (per-ray stratification, the proper default), else
+    ``(n_samples,)`` (one vector broadcast across rays, the reference quirk).
+    """
+    half = (far - near) / (2.0 * n_samples)
+    base = jnp.linspace(near + half, far - half, n_samples, dtype=jnp.float32)
+    if shared or num_rays is None:
+        jitter = jax.random.uniform(key, (n_samples,), dtype=jnp.float32)
+        return base + jitter * half
+    jitter = jax.random.uniform(key, (num_rays, n_samples), dtype=jnp.float32)
+    return base[None, :] + jitter * half
+
+
+def sample_pdf(
+    key: jax.Array,
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_importance: int,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_importance`` depths per ray.
+
+    Args:
+      bins:    (R, M+1) bin edges (typically midpoints of the coarse
+               z-values with end padding).
+      weights: (R, M) nonnegative per-bin weights (coarse compositing
+               weights; no normalization required).
+      deterministic: evenly spaced CDF probes instead of uniform draws.
+
+    Returns (R, n_importance) sampled z-values, differentiation-stopped
+    (importance samples are treated as constants, as in standard NeRF).
+
+    Implementation notes (TPU): a vectorized ``searchsorted`` over static
+    shapes; all gathers via ``take_along_axis``; no sorting here — callers
+    sort the union of coarse+fine samples once.
+    """
+    weights = weights + 1e-5  # avoid NaN CDFs for empty rays
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R, M+1)
+
+    num_rays = cdf.shape[0]
+    if deterministic:
+        u = jnp.linspace(0.0, 1.0 - 1e-5, n_importance, dtype=jnp.float32)
+        u = jnp.broadcast_to(u, (num_rays, n_importance))
+    else:
+        u = jax.random.uniform(key, (num_rays, n_importance), dtype=jnp.float32,
+                               maxval=1.0 - 1e-6)
+
+    # searchsorted per ray: index of first cdf entry > u, in [1, M+1).
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 2)
+    above = jnp.clip(idx, 1, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-8, 1.0, denom)
+    t = (u - cdf_below) / denom
+    samples = bins_below + t * (bins_above - bins_below)
+    return jax.lax.stop_gradient(samples)
+
+
+def union_sorted_zvals(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
+    """Merge coarse and fine depth samples per ray and sort ascending.
+
+    z_coarse (R, Nc) or (Nc,) broadcast; z_fine (R, Nf). Returns (R, Nc+Nf).
+    """
+    if z_coarse.ndim == 1:
+        z_coarse = jnp.broadcast_to(z_coarse, (z_fine.shape[0], z_coarse.shape[0]))
+    return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)

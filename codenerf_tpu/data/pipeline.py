@@ -1,0 +1,114 @@
+"""Host-side ray-batch pipeline.
+
+The TPU-native replacement for the reference's DataLoader + per-object /
+per-image / per-chunk python loops (``src/trainer.py:57-99``): every train
+step consumes ONE globally-sampled batch of rays drawn across all objects,
+views and pixels. The host does only cheap integer sampling + gathers (no
+image decode — the split is already resident as uint8); ray construction
+happens on-device from (pixel, pose, focal), see ``core/rays.pixel_rays``.
+
+Crop mode reproduces the reference's two-stage schedule (center 64x64 of
+128x128 for the first ``iters_crop`` steps, ``src/data.py:76-78``) as a
+restriction of the sampled pixel range — the camera model is unchanged
+because the crop preserves the principal point.
+
+A background thread keeps a small queue of ready batches so host sampling
+overlaps device compute (`prefetch`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class RayBatchPipeline:
+    def __init__(
+        self,
+        images: np.ndarray,   # (N, V, H, W, 3) uint8
+        poses: np.ndarray,    # (N, V, 4, 4) float32
+        focals: np.ndarray,   # (N,) float32
+        seed: int = 0,
+    ):
+        assert images.dtype == np.uint8, "pipeline stores images as uint8"
+        self.images = images
+        self.poses = poses.astype(np.float32)
+        self.focals = focals.astype(np.float32)
+        self.n_objects, self.n_views, self.H, self.W = images.shape[:4]
+        self._rng = np.random.default_rng(seed)
+
+    def _pixel_bounds(self, crop: bool):
+        if crop:
+            # Center half of the image, the reference's [32:-32] of 128.
+            return (self.H // 4, self.H - self.H // 4,
+                    self.W // 4, self.W - self.W // 4)
+        return 0, self.H, 0, self.W
+
+    def sample(self, batch_size: int, crop: bool = False) -> Dict[str, np.ndarray]:
+        """One training batch of rays, sampled i.i.d. across the dataset.
+
+        Returns host numpy arrays:
+          obj   (B,)   int32   object index (latent-code row)
+          uv    (B, 2) float32 full-image pixel coords (u=col, v=row)
+          c2w   (B, 3, 4) float32 per-ray camera pose
+          focal (B,)   float32
+          rgb   (B, 3) float32 ground-truth pixel in [0, 1]
+        """
+        rng = self._rng
+        v0, v1, u0, u1 = self._pixel_bounds(crop)
+        obj = rng.integers(0, self.n_objects, batch_size, dtype=np.int64)
+        view = rng.integers(0, self.n_views, batch_size, dtype=np.int64)
+        pu = rng.integers(u0, u1, batch_size, dtype=np.int64)
+        pv = rng.integers(v0, v1, batch_size, dtype=np.int64)
+
+        rgb = self.images[obj, view, pv, pu].astype(np.float32) / 255.0
+        return {
+            "obj": obj.astype(np.int32),
+            "uv": np.stack([pu, pv], axis=-1).astype(np.float32),
+            "c2w": self.poses[obj, view, :3, :],
+            "focal": self.focals[obj],
+            "rgb": rgb,
+        }
+
+    def rays_of_view(self, obj: int, view: int,
+                     crop: bool = False) -> Dict[str, np.ndarray]:
+        """All pixels of one (object, view), row-major — the eval layout
+        (matches the reference's whole-image flattening, ``src/utils.py:18``)."""
+        v0, v1, u0, u1 = self._pixel_bounds(crop)
+        vv, uu = np.meshgrid(np.arange(v0, v1), np.arange(u0, u1), indexing="ij")
+        n = vv.size
+        rgb = self.images[obj, view, vv.ravel(), uu.ravel()].astype(np.float32) / 255.0
+        return {
+            "obj": np.full((n,), obj, dtype=np.int32),
+            "uv": np.stack([uu.ravel(), vv.ravel()], -1).astype(np.float32),
+            "c2w": np.broadcast_to(self.poses[obj, view, :3, :], (n, 3, 4)).copy(),
+            "focal": np.full((n,), self.focals[obj], dtype=np.float32),
+            "rgb": rgb,
+        }
+
+    def prefetch(self, batch_size: int, crop: bool = False,
+                 depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+        """Endless iterator of batches produced on a background thread."""
+        q: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                batch = self.sample(batch_size, crop=crop)
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

@@ -1,0 +1,70 @@
+"""Device mesh and sharding rules.
+
+The reference is strictly single-device (``src/trainer.py:25``; no
+torch.distributed anywhere — SURVEY §2 row 20/21). The TPU-native scaling
+model is declarative: a 2-D ``jax.sharding.Mesh`` with axes
+
+- ``data``  — the ray batch is sharded along its leading axis. Because the
+  loss is a mean over sharded rays against replicated (or model-sharded)
+  parameters, XLA's SPMD partitioner inserts the gradient ``psum`` over ICI
+  automatically; there is no hand-written collective in the framework.
+- ``model`` — tensor parallelism over the MLP's hidden width: every weight
+  matrix whose output dim is a multiple of 128·|model| is sharded on its
+  last axis (activations follow; XLA places the contraction collectives).
+  A ~715K-parameter MLP does not NEED TP — the axis exists so the same
+  train step scales to wide-W variants and proves out multi-chip layouts.
+
+Optimizer moments inherit the parameter sharding automatically because the
+rules are shape-based and optax's Adam state mirrors the parameter tree.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, data: int = -1,
+              model: int = 1) -> Mesh:
+    """Build a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data == -1:
+        if n % model != 0:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"data*model={data * model} != device count {n}")
+    return Mesh(np.asarray(devices).reshape(data, model), ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (ray) axis across 'data'; trailing dims replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _leaf_spec(leaf: Any, model_size: int) -> P:
+    shape = getattr(leaf, "shape", ())
+    if (
+        model_size > 1
+        and len(shape) >= 1
+        and shape[-1] % (128 * model_size) == 0
+    ):
+        return P(*([None] * (len(shape) - 1) + ["model"]))
+    return P()
+
+
+def state_shardings(mesh: Mesh, state: Any):
+    """Sharding pytree for a TrainState (or any pytree): width-sharded
+    weights over 'model' per the shape rule, everything else replicated."""
+    model_size = mesh.shape["model"]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, model_size)), state
+    )

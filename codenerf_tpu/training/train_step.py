@@ -1,0 +1,117 @@
+"""The jitted training step.
+
+One step = one globally-sampled ray batch (all objects/views/pixels mixed),
+rendered and optimized in a single compiled computation. This replaces the
+reference's nested python loops — per-object, per-image, per-2048-ray-chunk
+with gradient accumulation and per-chunk H2D copies
+(``src/trainer.py:57-99``) — with one device program whose only host
+interaction is the batch transfer.
+
+Loss parity (``src/trainer.py:75-83``): mean-squared error on composited
+RGB plus ``loss_reg_coef * mean(||z_s|| + ||z_t||)`` on the (gathered)
+codes. With hierarchical sampling the coarse MSE is added as in standard
+NeRF. The reference's per-image ``zero_grad`` bug and first-chunk-only reg
+scaling (SURVEY §2.3 quirks 1, 4) are deliberately not reproduced — a batch
+contributes exactly once, and the reg term is applied once per step.
+
+Optimizer parity (``src/trainer.py:117-131``): AdamW (torch defaults:
+betas 0.9/0.999, eps 1e-8, weight_decay 0.01) with the model on
+``lr_schedule[0]`` and both code tables on ``lr_schedule[1]``, each decayed
+by step-halving. Moments persist across the whole run (the reference resets
+them every epoch — quirk, not feature).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from codenerf_tpu.config import Hparams, resolve_dtype
+from codenerf_tpu.core.rays import pixel_rays
+from codenerf_tpu.renderer import render_rays
+from codenerf_tpu.training.schedules import step_halving
+from codenerf_tpu.training.state import TrainState
+
+Batch = Dict[str, jnp.ndarray]
+
+
+def build_optimizer(hp: Hparams) -> optax.GradientTransformation:
+    """AdamW with per-group step-halving lrs via optax.multi_transform."""
+    adamw = lambda sched: optax.adamw(
+        learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
+        weight_decay=hp.weight_decay,
+    )
+    transforms = {
+        "model": adamw(step_halving(hp.lr_model.lr, hp.lr_model.interval)),
+        "codes": adamw(step_halving(hp.lr_codes.lr, hp.lr_codes.interval)),
+    }
+
+    def label_tree(trainables):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "codes" if k in ("shape_codes", "texture_codes") else "model",
+                v,
+            )
+            for k, v in trainables.items()
+        }
+
+    return optax.multi_transform(transforms, label_tree)
+
+
+def build_train_step(
+    hp: Hparams,
+    H: int,
+    W: int,
+    tx: optax.GradientTransformation,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Returns the un-jitted step function; callers jit it with the sharding
+    constraints they want (see ``parallel/mesh.py`` and ``Trainer``)."""
+    net_cfg, rcfg = hp.net, hp.render
+    compute_dtype = resolve_dtype(hp.compute_dtype)
+
+    def loss_fn(trainables, batch: Batch, key: jax.Array):
+        shape_code = trainables["shape_codes"][batch["obj"]]
+        texture_code = trainables["texture_codes"][batch["obj"]]
+        ray_o, viewdir = pixel_rays(batch["uv"], batch["focal"], batch["c2w"], H, W)
+        res = render_rays(
+            trainables["params"], net_cfg, rcfg, ray_o, viewdir,
+            shape_code, texture_code, key,
+            fine_params=trainables.get("fine_params"),
+            compute_dtype=compute_dtype,
+        )
+        mse = jnp.mean((res.final.rgb - batch["rgb"]) ** 2)
+        loss = mse
+        if res.fine is not None:
+            loss = loss + jnp.mean((res.coarse.rgb - batch["rgb"]) ** 2)
+        reg = jnp.mean(
+            jnp.linalg.norm(shape_code, axis=-1)
+            + jnp.linalg.norm(texture_code, axis=-1)
+        )
+        loss = loss + hp.loss_reg_coef * reg
+        metrics = {
+            "loss": loss,
+            "mse": mse,
+            "psnr": -10.0 * jnp.log(mse) / jnp.log(10.0),
+            "reg": reg,
+        }
+        return loss, metrics
+
+    def train_step(state: TrainState, batch: Batch):
+        rng, key = jax.random.split(state.rng)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.trainables, batch, key
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainables)
+        trainables = optax.apply_updates(state.trainables, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            trainables=trainables,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step

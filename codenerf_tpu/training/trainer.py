@@ -1,0 +1,227 @@
+"""Category-level training driver.
+
+Capability parity with the reference ``Trainer`` (``src/trainer.py:17-180``):
+two-stage cropped-then-full schedule, per-object latent code tables,
+MSE + code-norm loss, AdamW with split model/code learning rates and
+step-halving decay, periodic checkpoints and image/scalar logging, and a
+run-dir ``hpam.json`` snapshot.
+
+TPU-native differences (SURVEY §7):
+- one jitted train step over a globally-sampled ray batch (all objects mixed
+  per step) instead of per-object epochs — the crop->full switch changes
+  only the host-side pixel sampling window, so BOTH phases share one
+  compiled executable (no recompile at the phase boundary);
+- optional (data, model) mesh: the batch is sharded over 'data', wide
+  weights over 'model'; XLA inserts all collectives;
+- donated state buffers — parameters/moments update in place in HBM;
+- full-state checkpoints (optimizer moments + RNG), so training actually
+  resumes (the reference cannot, SURVEY §5.3).
+
+Step-count semantics: the reference's ``niter`` counts OBJECTS visited
+(one ~16K-ray image each, ``src/trainer.py:99``); our ``step`` counts ray
+batches. With the default ``batch_size=16384`` one step does the same
+pixel work as one reference iteration, so schedule intervals transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codenerf_tpu.config import Hparams, resolve_dtype
+from codenerf_tpu.data.pipeline import RayBatchPipeline
+from codenerf_tpu.data.srn import SRNDataset
+from codenerf_tpu.evaluation.metrics import reference_psnr_mse
+from codenerf_tpu.parallel.mesh import batch_sharding, state_shardings
+from codenerf_tpu.renderer import render_image
+from codenerf_tpu.training.state import TrainState, create_train_state
+from codenerf_tpu.training.train_step import build_optimizer, build_train_step
+from codenerf_tpu.utils import checkpoint as ckpt
+from codenerf_tpu.utils.images import side_by_side
+from codenerf_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        save_dir: str,
+        hparams: Hparams,
+        batch_size: int = 16384,
+        dataset: Optional[Any] = None,
+        exps_root: str = "exps",
+        mesh=None,
+        use_tensorboard: bool = False,
+        check_iter: int = 10000,
+        max_objects: Optional[int] = None,
+    ):
+        """``dataset`` is anything exposing images/poses/focals/H/W (an
+        :class:`SRNDataset` or a synthetic scene dict); when omitted it is
+        loaded from ``hparams.data`` like the reference does."""
+        self.hp = hparams
+        self.B = int(batch_size)
+        self.mesh = mesh
+        self.check_iter = check_iter
+
+        if dataset is None:
+            dataset = SRNDataset(
+                cat=hparams.data.cat,
+                splits=hparams.data.splits,
+                data_dir=hparams.data.data_dir,
+                max_objects=max_objects,
+            )
+        if isinstance(dataset, dict):
+            images, poses, focals = (
+                dataset["images"], dataset["poses"], dataset["focals"],
+            )
+        else:
+            images, poses, focals = dataset.images, dataset.poses, dataset.focals
+        self.dataset = dataset
+        self.pipeline = RayBatchPipeline(images, poses, focals, seed=hparams.seed)
+        self.H, self.W = self.pipeline.H, self.pipeline.W
+        self.n_objects = self.pipeline.n_objects
+
+        # Run directory: exps/<save_dir>/{hpam.json, metrics.jsonl, ckpt/}
+        # (reference layout, src/trainer.py:158-166).
+        self.save_dir = os.path.join(exps_root, save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        with open(os.path.join(self.save_dir, "hpam.json"), "w") as f:
+            json.dump(self.hp.to_json_dict(), f, indent=2)
+        self.logger = MetricsLogger(self.save_dir, use_tensorboard=use_tensorboard)
+        self.ckpt_dir = os.path.join(self.save_dir, "ckpt")
+
+        self.tx = build_optimizer(self.hp)
+        self.state: TrainState = create_train_state(
+            jax.random.PRNGKey(self.hp.seed), self.hp, self.n_objects, self.tx
+        )
+
+        step_fn = build_train_step(self.hp, self.H, self.W, self.tx)
+        if mesh is not None:
+            st_sh = state_shardings(mesh, self.state)
+            b_sh = batch_sharding(mesh)
+            batch_shardings = {
+                k: b_sh for k in ("obj", "uv", "c2w", "focal", "rgb")
+            }
+            self._batch_sharding = batch_shardings
+            self.state = jax.device_put(self.state, st_sh)
+            self._train_step = jax.jit(
+                step_fn,
+                in_shardings=(st_sh, batch_shardings),
+                out_shardings=(st_sh, None),
+                donate_argnums=0,
+            )
+        else:
+            self._batch_sharding = None
+            self._train_step = jax.jit(step_fn, donate_argnums=0)
+
+        self._render_fn = None
+
+    # ------------------------------------------------------------------ ckpt
+    def save_checkpoint(self) -> str:
+        return ckpt.save_checkpoint(
+            self.ckpt_dir, self.state, int(self.state.step)
+        )
+
+    def resume(self) -> bool:
+        """Restore the latest checkpoint if one exists. Returns True if
+        restored."""
+        step = ckpt.latest_step(self.ckpt_dir)
+        if step is None:
+            return False
+        self.state = ckpt.restore_checkpoint(self.ckpt_dir, self.state, step)
+        return True
+
+    # ------------------------------------------------------------- main loop
+    def training(self, iters_crop: int, iters_all: int,
+                 log_every: int = 100) -> Dict[str, float]:
+        """Run the two-stage schedule until ``iters_all`` total steps.
+
+        Stage 1 (steps < iters_crop): rays restricted to the center crop
+        window; stage 2: whole images — reference semantics
+        (``src/trainer.py:35-47``) minus the per-epoch optimizer resets.
+        """
+        if iters_crop > iters_all:
+            raise ValueError(
+                f"iters_crop={iters_crop} > iters_all={iters_all}"
+            )
+        metrics = {}
+        last_metrics = None
+        t_phase = time.time()
+        rays_since_log = 0
+        start = int(self.state.step)
+        crop_phase = start < iters_crop
+        batches = self.pipeline.prefetch(self.B, crop=crop_phase)
+
+        for step in range(start, iters_all):
+            if crop_phase and step >= iters_crop:
+                crop_phase = False
+                batches = self.pipeline.prefetch(self.B, crop=False)
+            batch = self._put(next(batches))
+            self.state, metrics = self._train_step(self.state, batch)
+            rays_since_log += self.B
+
+            next_step = step + 1
+            if next_step % log_every == 0 or next_step == iters_all:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_phase
+                last_metrics["rays_per_sec"] = rays_since_log / max(dt, 1e-9)
+                self.logger.scalars(
+                    next_step,
+                    {
+                        "psnr/train": last_metrics["psnr"],
+                        "reg/train": last_metrics["reg"],
+                        "loss/train": last_metrics["loss"],
+                        "time/train": dt,
+                        "rays_per_sec": last_metrics["rays_per_sec"],
+                    },
+                )
+                t_phase = time.time()
+                rays_since_log = 0
+            if self.check_iter and next_step % self.check_iter == 0:
+                self._log_render(next_step)
+            if self.hp.check_points and next_step % self.hp.check_points == 0:
+                self.save_checkpoint()
+
+        self.save_checkpoint()
+        return last_metrics or {}
+
+    # ------------------------------------------------------------- utilities
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self._batch_sharding is not None:
+            return jax.device_put(batch, self._batch_sharding)
+        return batch
+
+    def render_view(self, obj_idx: int, view_idx: int,
+                    key: Optional[jax.Array] = None) -> np.ndarray:
+        """Render one dataset view with the current model. (H, W, 3) f32."""
+        if self._render_fn is None:
+            self._render_fn = jax.jit(
+                lambda tr, focal, c2w, s, t: render_image(
+                    tr["params"], self.hp.net, self.hp.render,
+                    self.H, self.W, focal, c2w, s, t, key=None,
+                    chunk=min(4096, self.H * self.W),
+                    fine_params=tr.get("fine_params"),
+                    compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                )
+            )
+        tr = self.state.trainables
+        img = self._render_fn(
+            tr,
+            jnp.asarray(self.pipeline.focals[obj_idx]),
+            jnp.asarray(self.pipeline.poses[obj_idx, view_idx]),
+            tr["shape_codes"][obj_idx],
+            tr["texture_codes"][obj_idx],
+        )
+        return np.asarray(img)
+
+    def _log_render(self, step: int, obj_idx: int = 0, view_idx: int = 0) -> None:
+        img = self.render_view(obj_idx, view_idx)
+        gt = self.pipeline.images[obj_idx, view_idx].astype(np.float32) / 255.0
+        mse = float(reference_psnr_mse(jnp.asarray(img), jnp.asarray(gt)))
+        self.logger.scalars(step, {"psnr/render": -10.0 * np.log10(mse)})
+        self.logger.image(step, f"train_{step}_{obj_idx}", side_by_side(img, gt))

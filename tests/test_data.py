@@ -1,0 +1,124 @@
+"""Data layer tests: SRN disk parsing (pose flip, intrinsics), the synthetic
+scene generator's multi-view consistency, and the ray-batch pipeline."""
+
+import numpy as np
+import pytest
+
+from codenerf_tpu.data.pipeline import RayBatchPipeline
+from codenerf_tpu.data.srn import SRNDataset, load_intrinsics, load_pose
+from codenerf_tpu.data.synthetic import synthetic_scene, write_srn_layout
+
+
+@pytest.fixture(scope="module")
+def srn_dir(tmp_path_factory):
+    scene = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=7)
+    root = tmp_path_factory.mktemp("srn")
+    write_srn_layout(str(root), scene, cat="srn_cars", splits="cars_train")
+    return str(root), scene
+
+
+def test_srn_roundtrip(srn_dir):
+    root, scene = srn_dir
+    ds = SRNDataset(cat="srn_cars", splits="cars_train", data_dir=root)
+    assert ds.n_objects == 2 and ds.n_views == 4
+    assert ds.H == 16 and ds.W == 16
+    np.testing.assert_allclose(ds.poses, scene["poses"], atol=1e-5)
+    np.testing.assert_array_equal(ds.images, scene["images"])
+    np.testing.assert_allclose(ds.focals, scene["focals"], atol=1e-4)
+    assert ds.ids == ["obj0000", "obj0001"]
+
+
+def test_pose_flip_applied(tmp_path):
+    # A raw SRN pose on disk must come back right-multiplied by
+    # diag(1,-1,-1,1) (src/data.py:12-16).
+    raw = np.arange(16, dtype=np.float64).reshape(4, 4)
+    p = tmp_path / "pose.txt"
+    np.savetxt(p, raw.reshape(1, 16))
+    out = load_pose(str(p))
+    np.testing.assert_allclose(out, raw @ np.diag([1, -1, -1, 1]), atol=1e-6)
+
+
+def test_intrinsics_parsing(tmp_path):
+    p = tmp_path / "intrinsics.txt"
+    p.write_text("131.25 64. 64. 0.\n0. 0. 0.\n1.\n128 128\n")
+    focal, H, W = load_intrinsics(str(p))
+    assert focal == 131.25 and H == 128 and W == 128
+
+
+def test_view_indices_subset(srn_dir):
+    root, scene = srn_dir
+    ds = SRNDataset(cat="srn_cars", splits="cars_train", data_dir=root,
+                    view_indices=[1, 3])
+    assert ds.n_views == 2
+    np.testing.assert_array_equal(ds.images[:, 0], scene["images"][:, 1])
+    np.testing.assert_array_equal(ds.images[:, 1], scene["images"][:, 3])
+
+
+def test_synthetic_scene_objects_differ():
+    scene = synthetic_scene(n_objects=3, n_views=2, H=16, W=16, seed=0)
+    imgs = scene["images"].astype(np.int32)
+    assert np.abs(imgs[0] - imgs[1]).mean() > 1.0  # different shape/texture
+    # white background present in corners
+    assert (scene["images"][:, :, 0, 0] == 255).all()
+
+
+def test_pipeline_batch_contract(tiny_scene):
+    pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
+                            tiny_scene["focals"], seed=0)
+    b = pipe.sample(64)
+    assert b["obj"].shape == (64,) and b["obj"].dtype == np.int32
+    assert b["uv"].shape == (64, 2) and b["c2w"].shape == (64, 3, 4)
+    assert b["focal"].shape == (64,) and b["rgb"].shape == (64, 3)
+    assert b["rgb"].min() >= 0.0 and b["rgb"].max() <= 1.0
+    # rgb actually corresponds to the indexed pixel
+    i = 5
+    o, (u, v) = int(b["obj"][i]), b["uv"][i].astype(int)
+    views = tiny_scene["images"][o].reshape(-1, *tiny_scene["images"].shape[2:])
+    pix = b["rgb"][i] * 255.0
+    assert any(
+        np.allclose(views[vi, v, u], pix, atol=0.5)
+        for vi in range(views.shape[0])
+    )
+
+
+def test_pipeline_crop_restricts_pixels(tiny_scene):
+    pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
+                            tiny_scene["focals"], seed=0)
+    H, W = pipe.H, pipe.W
+    b = pipe.sample(512, crop=True)
+    assert b["uv"][:, 0].min() >= W // 4 and b["uv"][:, 0].max() < W - W // 4
+    assert b["uv"][:, 1].min() >= H // 4 and b["uv"][:, 1].max() < H - H // 4
+
+
+def test_pipeline_rays_of_view(tiny_scene):
+    pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
+                            tiny_scene["focals"], seed=0)
+    b = pipe.rays_of_view(1, 2)
+    H, W = pipe.H, pipe.W
+    assert b["uv"].shape == (H * W, 2)
+    # row-major order: first pixel (0,0), second (1,0)
+    np.testing.assert_array_equal(b["uv"][0], [0, 0])
+    np.testing.assert_array_equal(b["uv"][1], [1, 0])
+    np.testing.assert_allclose(
+        b["rgb"].reshape(H, W, 3),
+        tiny_scene["images"][1, 2].astype(np.float32) / 255.0,
+        atol=1e-6,
+    )
+
+
+def test_pipeline_seeded_determinism(tiny_scene):
+    mk = lambda: RayBatchPipeline(
+        tiny_scene["images"], tiny_scene["poses"], tiny_scene["focals"], seed=42
+    ).sample(32)
+    b1, b2 = mk(), mk()
+    for k in b1:
+        np.testing.assert_array_equal(b1[k], b2[k])
+
+
+def test_prefetch_yields_batches(tiny_scene):
+    pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
+                            tiny_scene["focals"], seed=0)
+    it = pipe.prefetch(16, depth=2)
+    batches = [next(it) for _ in range(3)]
+    assert all(b["rgb"].shape == (16, 3) for b in batches)
+    it.close()
