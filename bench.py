@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Throughput benchmark. Prints ONE JSON line.
+
+Metric (BASELINE.json): rays/sec/chip, train + render combined, on the
+flagship SRN-cars configuration (W=256, 3+1 blocks, 96 samples/ray,
+128x128 images). North star: 2M rays/s aggregate on v5e-8 = 250K
+rays/s/chip -> ``vs_baseline = value / 250_000``.
+
+Protocol: synthetic in-memory scene (ShapeNet is not present on bench
+hosts; ray/MLP/compositing work is identical), bfloat16 compute. Train =
+full jitted train step (fwd+bwd+AdamW) on 16K-ray batches; render = jitted
+eval-mode forward on 16K-ray batches (one 128x128 view per step). Combined
+throughput = total rays / total wall time over both phases, after
+compilation + warmup.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
+           batch: int = 16384) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from codenerf_tpu.config import Hparams, NetConfig, RenderConfig
+    from codenerf_tpu.data.pipeline import RayBatchPipeline
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.renderer import render_rays
+    from codenerf_tpu.training.state import create_train_state
+    from codenerf_tpu.training.train_step import build_optimizer, build_train_step
+
+    scene = synthetic_scene(n_objects=8, n_views=8, H=128, W=128, seed=0)
+    hp = Hparams(
+        net=NetConfig(),  # flagship srncar dims: W=256, 3+1 blocks, D=256
+        render=RenderConfig(n_samples=96, near=scene["near"], far=scene["far"]),
+        compute_dtype="bfloat16",
+    )
+    pipe = RayBatchPipeline(scene["images"], scene["poses"], scene["focals"])
+    tx = build_optimizer(hp)
+    state = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    step_fn = jax.jit(build_train_step(hp, pipe.H, pipe.W, tx),
+                      donate_argnums=0)
+
+    batches = [pipe.sample(batch) for _ in range(8)]
+    batches = [{k: jnp.asarray(v) for k, v in b.items()} for b in batches]
+
+    # ---- train phase
+    # NOTE: device synchronization must go through an actual host fetch:
+    # on the axon-tunneled TPU runtime, jax.block_until_ready returns
+    # before execution finishes, silently inflating throughput ~100x.
+    def sync(x):
+        return np.asarray(x)
+
+    state, m = step_fn(state, batches[0])  # compile
+    sync(m["loss"])
+    state, m = step_fn(state, batches[1])  # warmup
+    sync(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_train_steps):
+        state, m = step_fn(state, batches[i % len(batches)])
+    sync(m["loss"])
+    train_time = time.perf_counter() - t0
+    train_rays = n_train_steps * batch
+
+    # ---- render phase (eval-mode forward, jittered sampling like eval)
+    params = state.trainables["params"]
+    shape_code = state.trainables["shape_codes"][0]
+    texture_code = state.trainables["texture_codes"][0]
+
+    @jax.jit
+    def render_step(ro, vd, key):
+        res = render_rays(params, hp.net, hp.render, ro, vd,
+                          shape_code, texture_code, key,
+                          compute_dtype=jnp.bfloat16)
+        return res.final.rgb
+
+    from codenerf_tpu.core.rays import camera_rays
+
+    ro, vd = camera_rays(pipe.H, pipe.W, float(pipe.focals[0]),
+                         jnp.asarray(pipe.poses[0, 0]))
+    key = jax.random.PRNGKey(0)
+    out = render_step(ro, vd, key)  # compile
+    sync(out[0, 0])
+    t0 = time.perf_counter()
+    for i in range(n_render_steps):
+        out = render_step(ro, vd, jax.random.fold_in(key, i))
+    sync(out[0, 0])
+    render_time = time.perf_counter() - t0
+    render_rays_total = n_render_steps * ro.shape[0]
+
+    combined = (train_rays + render_rays_total) / (train_time + render_time)
+    return {
+        "rays_per_sec_combined": combined,
+        "rays_per_sec_train": train_rays / train_time,
+        "rays_per_sec_render": render_rays_total / render_time,
+        "n_devices": len(jax.devices()),
+    }
+
+
+def main() -> None:
+    r = _bench()
+    print(json.dumps({
+        "metric": "rays/sec/chip (train + render)",
+        "value": round(r["rays_per_sec_combined"], 1),
+        "unit": "rays/s",
+        "vs_baseline": round(r["rays_per_sec_combined"] / 250_000.0, 4),
+        "detail": {
+            "train_rays_per_sec": round(r["rays_per_sec_train"], 1),
+            "render_rays_per_sec": round(r["rays_per_sec_render"], 1),
+            "n_devices": r["n_devices"],
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,13 +52,22 @@ def _init_dense(key: jax.Array, d_in: int, d_out: int) -> Dict[str, jnp.ndarray]
 
 def _dense(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
            compute_dtype: jnp.dtype) -> jnp.ndarray:
-    """x @ w + b with compute-dtype matmul and float32 accumulation."""
+    """x @ w + b: compute-dtype matmul with float32 MXU accumulation, output
+    cast back to compute dtype.
+
+    The output cast is load-bearing for the BACKWARD pass: JAX cotangents
+    take the primal output's dtype, so an f32 layer output would make every
+    backward dot_general an f32 matmul (~8x slower than bf16 on the MXU) and
+    double the residual bytes. With bf16 outputs the whole backward runs on
+    the fast path; the f32 accumulation inside each dot is preserved via
+    ``preferred_element_type``.
+    """
     y = jnp.dot(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compute_dtype,
     )
-    return y + p["b"]
+    return y + p["b"].astype(compute_dtype)
 
 
 def init_codenerf(key: jax.Array, cfg: NetConfig) -> Params:

@@ -1,0 +1,250 @@
+"""Test-time latent-code optimization + evaluation (the ``optimize.py`` path).
+
+Capability parity with the reference ``Optimizer`` (``src/optimizer.py:18-240``):
+for each unseen object, initialize shape/texture codes at the MEAN of the
+trained embeddings (``optimizer.py:215-216``), run ``num_opts`` AdamW steps
+on the codes ONLY against the target view(s) — model frozen — with the lr
+halved every ``lr_half_interval`` steps (``optimizer.py:200-207``), then
+evaluate PSNR/SSIM on all remaining views (``optimizer.py:107-135``).
+
+TPU-native design:
+- the whole optimization is ONE jitted ``lax.scan`` over steps — no python
+  loop, no per-chunk H2D traffic, no optimizer-rebuild resets (the decay is
+  an optax schedule; the reference's moment-zeroing every 50 steps is a
+  quirk, SURVEY §2.3 #3);
+- the per-step loss over all target rays is computed by a rematerialized
+  ``lax.scan`` over fixed-size ray chunks, bounding activation memory at
+  ``chunk × samples`` regardless of how many target views are given;
+- evaluation renders + scores each view entirely on device (SSIM in JAX).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from codenerf_tpu.config import Hparams, resolve_dtype
+from codenerf_tpu.core.rays import camera_rays
+from codenerf_tpu.evaluation.metrics import psnr as psnr_fn
+from codenerf_tpu.evaluation.metrics import reference_psnr_mse, ssim as ssim_fn
+from codenerf_tpu.renderer import render_rays
+from codenerf_tpu.training.schedules import step_halving
+
+
+class OptimizationResult(NamedTuple):
+    shape_code: jnp.ndarray    # (D,)
+    texture_code: jnp.ndarray  # (D,)
+    psnr_history: jnp.ndarray  # (num_opts,) training-view PSNR per step
+
+
+def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
+                      view_idxs: Sequence[int], H: int, W: int):
+    """Stack origins/dirs/gt pixels of the target views into flat arrays."""
+    ros, vds, gts = [], [], []
+    for v in view_idxs:
+        ro, vd = camera_rays(H, W, focal, jnp.asarray(poses[v]))
+        ros.append(ro)
+        vds.append(vd)
+        gts.append(jnp.asarray(images[v].reshape(-1, 3), dtype=jnp.float32))
+    return jnp.concatenate(ros), jnp.concatenate(vds), jnp.concatenate(gts)
+
+
+def _chunked(x: jnp.ndarray, chunk: int):
+    n = x.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"ray count {n} not divisible by chunk {chunk}")
+    return x.reshape(n // chunk, chunk, *x.shape[1:])
+
+
+def optimize_codes(
+    params,
+    hp: Hparams,
+    ray_o: jnp.ndarray,
+    viewdir: jnp.ndarray,
+    gt_rgb: jnp.ndarray,
+    init_shape: jnp.ndarray,
+    init_texture: jnp.ndarray,
+    key: jax.Array,
+    num_opts: int = 200,
+    lr: float = 1e-2,
+    lr_half_interval: int = 50,
+    chunk: int = 4096,
+    fine_params=None,
+) -> OptimizationResult:
+    """Optimize one object's codes against flat target rays. Fully jitted."""
+    net_cfg, rcfg = hp.net, hp.render
+    compute_dtype = resolve_dtype(hp.compute_dtype)
+    chunk = min(chunk, ray_o.shape[0])
+    ro_c = _chunked(ray_o, chunk)
+    vd_c = _chunked(viewdir, chunk)
+    gt_c = _chunked(gt_rgb, chunk)
+    n_rays = ray_o.shape[0]
+
+    # AdamW on the two code vectors only (model params are captured as
+    # constants — frozen exactly like the reference, optimizer.py:195-198).
+    tx = optax.adamw(step_halving(lr, lr_half_interval), b1=0.9, b2=0.999,
+                     eps=1e-8, weight_decay=hp.weight_decay)
+
+    def loss_fn(codes, step_key):
+        shape_code, texture_code = codes
+
+        def body(carry, xs):
+            ro, vd, gt, k = xs
+            res = render_rays(
+                params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
+                fine_params=fine_params, compute_dtype=compute_dtype,
+            )
+            se = jnp.sum((res.final.rgb - gt) ** 2)
+            if res.fine is not None:
+                se = se + jnp.sum((res.coarse.rgb - gt) ** 2)
+            return carry + se, None
+
+        keys = jax.random.split(step_key, ro_c.shape[0])
+        total_se, _ = jax.lax.scan(
+            jax.checkpoint(body), jnp.zeros((), jnp.float32),
+            (ro_c, vd_c, gt_c, keys),
+        )
+        mse = total_se / (n_rays * 3.0)
+        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
+        return mse + hp.loss_reg_coef * reg, mse
+
+    @jax.jit
+    def run(codes0, key):
+        opt_state0 = tx.init(codes0)
+
+        def step(carry, step_key):
+            codes, opt_state = carry
+            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                codes, step_key
+            )
+            updates, opt_state = tx.update(grads, opt_state, codes)
+            codes = optax.apply_updates(codes, updates)
+            return (codes, opt_state), psnr_fn(mse)
+
+        keys = jax.random.split(key, num_opts)
+        (codes, _), history = jax.lax.scan(step, (codes0, opt_state0), keys)
+        return codes, history
+
+    (shape_code, texture_code), history = run(
+        (init_shape.astype(jnp.float32), init_texture.astype(jnp.float32)), key
+    )
+    return OptimizationResult(shape_code, texture_code, history)
+
+
+@dataclasses.dataclass
+class CodeOptimizer:
+    """Driver mirroring the reference ``Optimizer``: per-object code
+    optimization followed by held-out-view evaluation.
+
+    Feed it the frozen trained ``params`` and the mean codes (from a
+    checkpointed train state), then call :meth:`optimize_object` /
+    :meth:`evaluate_object` per test object, or :meth:`run` for the full
+    reference protocol over a test split.
+    """
+
+    params: Dict
+    hp: Hparams
+    mean_shape: jnp.ndarray
+    mean_texture: jnp.ndarray
+    fine_params: Optional[Dict] = None
+    chunk: int = 4096
+
+    def __post_init__(self):
+        self._eval_fn = None
+
+    def optimize_object(
+        self,
+        images: np.ndarray,   # (V, H, W, 3) float [0,1]
+        poses: np.ndarray,    # (V, 4, 4)
+        focal: float,
+        tgt_views: Sequence[int],
+        key: jax.Array,
+        num_opts: int = 200,
+        lr: float = 1e-2,
+        lr_half_interval: int = 50,
+    ) -> OptimizationResult:
+        H, W = images.shape[1:3]
+        ro, vd, gt = _flat_target_rays(images, poses, focal, tgt_views, H, W)
+        return optimize_codes(
+            self.params, self.hp, ro, vd, gt,
+            self.mean_shape, self.mean_texture, key,
+            num_opts=num_opts, lr=lr, lr_half_interval=lr_half_interval,
+            chunk=self.chunk, fine_params=self.fine_params,
+        )
+
+    def _build_eval(self, H: int, W: int, chunk: int):
+        net_cfg, rcfg = self.hp.net, self.hp.render
+        compute_dtype = resolve_dtype(self.hp.compute_dtype)
+
+        @jax.jit
+        def eval_view(c2w, focal, gt, shape_code, texture_code, key):
+            ro, vd = camera_rays(H, W, focal, c2w)
+            n_chunks = (H * W) // chunk
+            ro_c = ro.reshape(n_chunks, chunk, 3)
+            vd_c = vd.reshape(n_chunks, chunk, 3)
+            keys = jax.random.split(key, n_chunks)
+
+            def render_chunk(xs):
+                ro_i, vd_i, k = xs
+                res = render_rays(
+                    self.params, net_cfg, rcfg, ro_i, vd_i,
+                    shape_code, texture_code, k,
+                    fine_params=self.fine_params, compute_dtype=compute_dtype,
+                )
+                return res.final.rgb
+
+            rgb = jax.lax.map(render_chunk, (ro_c, vd_c, keys)).reshape(H, W, 3)
+            mse = reference_psnr_mse(rgb, gt)
+            return rgb, psnr_fn(mse), ssim_fn(rgb, gt)
+
+        return eval_view
+
+    def evaluate_object(
+        self,
+        images: np.ndarray,
+        poses: np.ndarray,
+        focal: float,
+        exclude_views: Sequence[int],
+        shape_code: jnp.ndarray,
+        texture_code: jnp.ndarray,
+        key: jax.Array,
+        return_images: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """PSNR/SSIM on every view not in ``exclude_views`` — the reference
+        eval protocol (``src/optimizer.py:107-135``), including its use of
+        jittered z-sampling at eval time (callers never pass z_fixed;
+        SURVEY §2.3 #2)."""
+        H, W = images.shape[1:3]
+        chunk = min(self.chunk, H * W)
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval(H, W, chunk)
+        psnrs, ssims, idxs, rendered = [], [], [], []
+        excl = set(int(i) for i in exclude_views)
+        for v in range(images.shape[0]):
+            if v in excl:
+                continue
+            key, k = jax.random.split(key)
+            rgb, p, s = self._eval_fn(
+                jnp.asarray(poses[v]), jnp.asarray(focal),
+                jnp.asarray(images[v], dtype=jnp.float32),
+                shape_code, texture_code, k,
+            )
+            idxs.append(v)
+            psnrs.append(float(p))
+            ssims.append(float(s))
+            if return_images:
+                rendered.append(np.asarray(rgb))
+        out = {
+            "views": np.asarray(idxs),
+            "psnr": np.asarray(psnrs),
+            "ssim": np.asarray(ssims),
+        }
+        if return_images:
+            out["images"] = np.stack(rendered)
+        return out

@@ -1,0 +1,131 @@
+"""Joint camera-pose + latent-code optimization.
+
+Implements the "Pose Optimizing" capability the reference catalogs but never
+implemented (``README.md:24-25``; SURVEY §2.1 row 22): given an image of an
+unseen object with an UNKNOWN/inaccurate pose, jointly optimize an se(3)
+pose refinement (``core/poses.py``) together with the shape/texture codes by
+gradient descent through ray generation and volume rendering — the paper's
+recipe (CodeNeRF §4.3, arXiv 2109.01750).
+
+The whole optimization is one jitted ``lax.scan``; every step re-derives the
+rays from the current pose estimate and renders a fresh random subset of
+pixels (static subset size -> no recompiles).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from codenerf_tpu.config import Hparams, resolve_dtype
+from codenerf_tpu.core.poses import refine_pose
+from codenerf_tpu.core.rays import pixel_rays
+from codenerf_tpu.evaluation.metrics import psnr as psnr_fn
+from codenerf_tpu.renderer import render_rays
+from codenerf_tpu.training.schedules import step_halving
+
+
+class PoseOptimizationResult(NamedTuple):
+    c2w: jnp.ndarray           # (4, 4) refined pose
+    xi: jnp.ndarray            # (6,) twist actually applied
+    shape_code: jnp.ndarray    # (D,)
+    texture_code: jnp.ndarray  # (D,)
+    psnr_history: jnp.ndarray  # (num_opts,)
+
+
+def optimize_pose_and_codes(
+    params,
+    hp: Hparams,
+    image: jnp.ndarray,        # (H, W, 3) float [0,1]
+    init_c2w: jnp.ndarray,     # (4, 4) initial pose guess
+    focal: float,
+    init_shape: jnp.ndarray,
+    init_texture: jnp.ndarray,
+    key: jax.Array,
+    num_opts: int = 200,
+    lr_codes: float = 1e-2,
+    lr_pose: float = 1e-2,
+    lr_half_interval: int = 50,
+    rays_per_step: int = 2048,
+    optimize_codes: bool = True,
+    fine_params=None,
+) -> PoseOptimizationResult:
+    """Jointly refine (pose, codes) against one target image.
+
+    ``optimize_codes=False`` freezes the codes (pure pose registration).
+    """
+    net_cfg, rcfg = hp.net, hp.render
+    compute_dtype = resolve_dtype(hp.compute_dtype)
+    H, W = image.shape[0], image.shape[1]
+    flat_rgb = image.reshape(-1, 3).astype(jnp.float32)
+    init_c2w = jnp.asarray(init_c2w, jnp.float32)
+    rays_per_step = min(rays_per_step, H * W)
+
+    tx = optax.multi_transform(
+        {
+            "pose": optax.adam(step_halving(lr_pose, lr_half_interval)),
+            "codes": optax.adamw(
+                step_halving(lr_codes, lr_half_interval),
+                weight_decay=hp.weight_decay,
+            ),
+        },
+        {"xi": "pose", "shape": "codes", "texture": "codes"},
+    )
+
+    def loss_fn(variables, step_key):
+        c2w = refine_pose(variables["xi"], init_c2w)
+        pix = jax.random.randint(step_key, (rays_per_step,), 0, H * W)
+        u = (pix % W).astype(jnp.float32)
+        v = (pix // W).astype(jnp.float32)
+        uv = jnp.stack([u, v], axis=-1)
+        c2w_b = jnp.broadcast_to(c2w[:3, :], (rays_per_step, 3, 4))
+        focal_b = jnp.full((rays_per_step,), focal, jnp.float32)
+        ro, vd = pixel_rays(uv, focal_b, c2w_b, H, W)
+        shape_code = variables["shape"] if optimize_codes else jax.lax.stop_gradient(variables["shape"])
+        texture_code = variables["texture"] if optimize_codes else jax.lax.stop_gradient(variables["texture"])
+        res = render_rays(
+            params, net_cfg, rcfg, ro, vd, shape_code, texture_code,
+            jax.random.fold_in(step_key, 1),
+            fine_params=fine_params, compute_dtype=compute_dtype,
+        )
+        gt = flat_rgb[pix]
+        mse = jnp.mean((res.final.rgb - gt) ** 2)
+        loss = mse
+        if res.fine is not None:
+            loss = loss + jnp.mean((res.coarse.rgb - gt) ** 2)
+        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
+        return loss + hp.loss_reg_coef * reg, mse
+
+    @jax.jit
+    def run(variables0, key):
+        opt_state0 = tx.init(variables0)
+
+        def step(carry, step_key):
+            variables, opt_state = carry
+            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                variables, step_key
+            )
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            return (variables, opt_state), psnr_fn(mse)
+
+        keys = jax.random.split(key, num_opts)
+        (variables, _), history = jax.lax.scan(step, (variables0, opt_state0), keys)
+        return variables, history
+
+    variables0 = {
+        "xi": jnp.zeros(6, jnp.float32),
+        "shape": init_shape.astype(jnp.float32),
+        "texture": init_texture.astype(jnp.float32),
+    }
+    variables, history = run(variables0, key)
+    return PoseOptimizationResult(
+        c2w=refine_pose(variables["xi"], init_c2w),
+        xi=variables["xi"],
+        shape_code=variables["shape"],
+        texture_code=variables["texture"],
+        psnr_history=history,
+    )

@@ -61,3 +61,17 @@ def restore_checkpoint(ckpt_dir: str, target: Any,
             raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(_step_dir(ckpt_dir, step), target)
+
+
+def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Any:
+    """Restore WITHOUT a target structure: returns nested dicts/arrays.
+
+    This is the ``optimize.py`` load path — the consumer doesn't know the
+    training-time object count, so it can't build an abstract TrainState
+    (mirrors the reference loading ``models.pth`` blind,
+    ``src/optimizer.py:209-216``)."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
+    return ocp.StandardCheckpointer().restore(_step_dir(ckpt_dir, step))

@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Test-time latent-code optimization + evaluation CLI.
+
+Flag surface mirrors the reference ``optimize.py:13-23``. Protocol
+(``src/optimizer.py:48-135``): per test object, initialize codes at the
+mean of the trained embeddings, run ``--num_opts`` AdamW steps on the codes
+only against the ``--tgt_instances`` views (lr halved every
+``--lr_half_interval``), then report PSNR/SSIM over all remaining views.
+
+Outputs under ``<exps_root>/<saved_dir>/test[_N]/`` (numbered like the
+reference, ``src/optimizer.py:224-232``):
+  codes.npz        optimized codes + per-view PSNR/SSIM per object
+  results.json     summary metrics
+  <obj_id>/*.png   optional side-by-side renders (--save_img)
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from codenerf_tpu.config import load_hparams
+from codenerf_tpu.utils.images import str2bool
+
+
+def _unique_test_dir(base: str) -> str:
+    # test, test_2, test_3, ... (reference numbering, optimizer.py:224-232)
+    path, num = base, 2
+    while os.path.isdir(path):
+        path = f"{base}_{num}"
+        num += 1
+    os.makedirs(path)
+    return path
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Optimize CodeNeRF codes")
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="ignored (reference compatibility)")
+    parser.add_argument("--saved_dir", type=str, default="default")
+    parser.add_argument("--tgt_instances", type=int, nargs="+", default=[1])
+    parser.add_argument("--splits", type=str, default="test")
+    parser.add_argument("--num_opts", type=int, default=200)
+    parser.add_argument("--lr", type=float, default=1e-2)
+    parser.add_argument("--lr_half_interval", type=int, default=50)
+    parser.add_argument("--save_img", type=str2bool, default=True)
+    parser.add_argument("--jsonfile", type=str, default="srncar.json")
+    parser.add_argument("--batchsize", type=int, default=4096)
+    parser.add_argument("--exps_root", type=str, default="exps")
+    parser.add_argument("--max_objects", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if os.environ.get("CODENERF_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["CODENERF_PLATFORM"])
+
+    import jax.numpy as jnp
+
+    from codenerf_tpu.data.srn import SRNDataset
+    from codenerf_tpu.models.codes import mean_code
+    from codenerf_tpu.optimization.codes_opt import CodeOptimizer
+    from codenerf_tpu.utils.checkpoint import restore_raw
+    from codenerf_tpu.utils.images import save_png, side_by_side
+
+    hp = load_hparams(args.jsonfile)
+    run_dir = os.path.join(args.exps_root, args.saved_dir)
+    raw = restore_raw(os.path.join(run_dir, "ckpt"))
+    trainables = raw["trainables"]
+    save_dir = _unique_test_dir(os.path.join(run_dir, "test"))
+    print("we are going to save at", save_dir)
+
+    # <cat prefix>_<splits> like the reference (optimizer.py:235-238)
+    obj = hp.data.cat.split("_")[1]
+    splits = f"{obj}_{args.splits}"
+    ds = SRNDataset(cat=hp.data.cat, splits=splits, data_dir=hp.data.data_dir,
+                    max_objects=args.max_objects)
+
+    optimizer = CodeOptimizer(
+        params=trainables["params"],
+        hp=hp,
+        mean_shape=mean_code(jnp.asarray(trainables["shape_codes"])),
+        mean_texture=mean_code(jnp.asarray(trainables["texture_codes"])),
+        fine_params=trainables.get("fine_params"),
+        chunk=args.batchsize,
+    )
+
+    with open(os.path.join(save_dir, "opt_hpams.json"), "w") as f:
+        json.dump({"instance_ids": args.tgt_instances, "lr": args.lr,
+                   "lr_half_interval": args.lr_half_interval,
+                   "splits": args.splits, "num_opts": args.num_opts}, f,
+                  indent=2)
+
+    latent_dim = optimizer.mean_shape.shape[-1]
+    n = ds.n_objects
+    out = {
+        "ids": np.asarray(ds.ids),
+        "optimized_shapecodes": np.zeros((n, latent_dim), np.float32),
+        "optimized_texturecodes": np.zeros((n, latent_dim), np.float32),
+    }
+    psnr_eval, ssim_eval, summary = {}, {}, []
+    key = jax.random.PRNGKey(hp.seed)
+    for oi in range(n):
+        print(f"num obj: {oi}/{n}")
+        imgs = ds.images[oi].astype(np.float32) / 255.0
+        poses, focal = ds.poses[oi], float(ds.focals[oi])
+        key, k_opt, k_eval = jax.random.split(key, 3)
+        res = optimizer.optimize_object(
+            imgs, poses, focal, args.tgt_instances, k_opt,
+            num_opts=args.num_opts, lr=args.lr,
+            lr_half_interval=args.lr_half_interval,
+        )
+        ev = optimizer.evaluate_object(
+            imgs, poses, focal, args.tgt_instances,
+            res.shape_code, res.texture_code, k_eval,
+            return_images=args.save_img,
+        )
+        out["optimized_shapecodes"][oi] = np.asarray(res.shape_code)
+        out["optimized_texturecodes"][oi] = np.asarray(res.texture_code)
+        psnr_eval[ds.ids[oi]] = ev["psnr"].tolist()
+        ssim_eval[ds.ids[oi]] = ev["ssim"].tolist()
+        summary.append({"id": ds.ids[oi],
+                        "psnr": float(ev["psnr"].mean()),
+                        "ssim": float(ev["ssim"].mean())})
+        print(f"  psnr {ev['psnr'].mean():.3f}  ssim {ev['ssim'].mean():.4f}")
+        if args.save_img:
+            obj_dir = os.path.join(save_dir, ds.ids[oi])
+            os.makedirs(obj_dir, exist_ok=True)
+            for j, v in enumerate(ev["views"]):
+                save_png(
+                    os.path.join(obj_dir, f"{v}_{len(args.tgt_instances)}.png"),
+                    side_by_side(ev["images"][j], imgs[v]),
+                )
+        np.savez(os.path.join(save_dir, "codes.npz"), **out)
+        with open(os.path.join(save_dir, "results.json"), "w") as f:
+            json.dump({"per_object": summary,
+                       "psnr_eval": psnr_eval, "ssim_eval": ssim_eval,
+                       "mean_psnr": float(np.mean([s["psnr"] for s in summary])),
+                       "mean_ssim": float(np.mean([s["ssim"] for s in summary]))},
+                      f, indent=2)
+    print("done:", json.dumps(summary[-1] if summary else {}))
+
+
+if __name__ == "__main__":
+    main()

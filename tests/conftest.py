@@ -50,3 +50,24 @@ def tiny_hparams(tiny_scene):
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def trained(tiny_scene, tiny_hparams, tmp_path_factory):
+    """A model trained 500 steps on objects 0..N-2 of the tiny scene; the
+    last object is held out for test-time optimization tests."""
+    from codenerf_tpu.training.trainer import Trainer
+
+    # keep all objects in training for render-quality tests; optimization
+    # tests re-derive codes from scratch (mean-code init) anyway.
+    train_scene = dict(tiny_scene)
+    tr = Trainer(
+        "trained_fixture",
+        tiny_hparams,
+        batch_size=1024,
+        dataset=train_scene,
+        exps_root=str(tmp_path_factory.mktemp("exps")),
+        check_iter=0,
+    )
+    tr.training(iters_crop=0, iters_all=500, log_every=250)
+    return tr, tiny_scene, tiny_hparams

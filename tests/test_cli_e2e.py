@@ -1,0 +1,119 @@
+"""End-to-end CLI test: train.py then optimize.py against a synthetic
+SRN-layout dataset on disk, exercising the full reference workflow
+(``README.md:32-47`` usage) — config json -> train -> checkpoint ->
+test-time optimization -> metrics files."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from codenerf_tpu.data.synthetic import synthetic_scene, write_srn_layout
+
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = str(root / "data")
+    scene = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=3)
+    write_srn_layout(data_dir, scene, cat="srn_cars", splits="cars_train")
+    write_srn_layout(data_dir, scene, cat="srn_cars", splits="cars_test")
+
+    cfg = {
+        "net_hyperparams": {
+            "shape_blocks": 1, "texture_blocks": 1, "W": 32,
+            "num_xyz_freq": 2, "num_dir_freq": 1, "latent_dim": 8,
+        },
+        "data": {"cat": "srn_cars", "splits": "cars_train",
+                 "data_dir": data_dir},
+        "N_samples": 8,
+        "near": scene["near"],
+        "far": scene["far"],
+        "loss_reg_coef": 1e-4,
+        "lr_schedule": [
+            {"type": "step", "lr": 5e-4, "interval": 100000},
+            {"type": "step", "lr": 5e-3, "interval": 100000},
+        ],
+        "check_points": 0,
+        "compute_dtype": "float32",
+    }
+    jsondir = root / "jsonfiles"
+    jsondir.mkdir()
+    with open(jsondir / "tiny.json", "w") as f:
+        json.dump(cfg, f)
+    return root
+
+
+def _run(args, cwd):
+    env = dict(os.environ, CODENERF_PLATFORM="cpu",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+
+
+def test_train_then_optimize_cli(workdir):
+    r = _run(
+        [os.path.join(REPO, "train.py"), "--save_dir", "run1",
+         "--iters_crop", "5", "--iters_all", "40", "--batchsize", "256",
+         "--jsonfile", "jsonfiles/tiny.json", "--log_every", "20",
+         "--check_iter", "0", "--tensorboard", "false"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    exp = workdir / "exps" / "run1"
+    assert (exp / "hpam.json").is_file()
+    assert (exp / "metrics.jsonl").is_file()
+    assert any((exp / "ckpt").iterdir())
+
+    # resume path: second invocation picks up at step 40 and trains to 45
+    r2 = _run(
+        [os.path.join(REPO, "train.py"), "--save_dir", "run1",
+         "--iters_crop", "5", "--iters_all", "45", "--batchsize", "256",
+         "--jsonfile", "jsonfiles/tiny.json", "--log_every", "5",
+         "--check_iter", "0"],
+        cwd=str(workdir),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "resumed from step 40" in r2.stdout, r2.stdout
+
+    r3 = _run(
+        [os.path.join(REPO, "optimize.py"), "--saved_dir", "run1",
+         "--tgt_instances", "1", "--splits", "test", "--num_opts", "10",
+         "--lr", "1e-2", "--lr_half_interval", "5",
+         "--jsonfile", "jsonfiles/tiny.json", "--batchsize", "256",
+         "--save_img", "true"],
+        cwd=str(workdir),
+    )
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    test_dir = exp / "test"
+    assert test_dir.is_dir()
+    codes = np.load(test_dir / "codes.npz")
+    assert codes["optimized_shapecodes"].shape == (2, 8)
+    with open(test_dir / "results.json") as f:
+        results = json.load(f)
+    assert len(results["per_object"]) == 2
+    assert np.isfinite(results["mean_psnr"])
+    assert -1.0 <= results["mean_ssim"] <= 1.0
+    # per-view eval excluded the target instance: 4 views - 1 target = 3
+    assert all(len(v) == 3 for v in results["psnr_eval"].values())
+    # side-by-side images written
+    obj_dirs = [d for d in test_dir.iterdir() if d.is_dir()]
+    assert obj_dirs and any(list(d.glob("*.png")) for d in obj_dirs)
+
+    # a second optimize run gets a numbered dir (reference behavior)
+    r4 = _run(
+        [os.path.join(REPO, "optimize.py"), "--saved_dir", "run1",
+         "--tgt_instances", "1", "--splits", "test", "--num_opts", "2",
+         "--jsonfile", "jsonfiles/tiny.json", "--batchsize", "256",
+         "--save_img", "false"],
+        cwd=str(workdir),
+    )
+    assert r4.returncode == 0, r4.stderr[-3000:]
+    assert (exp / "test_2").is_dir()

@@ -1,0 +1,87 @@
+"""Metric tests: PSNR convention and SSIM vs an independent scipy/numpy
+implementation of skimage's structural_similarity algorithm (the library
+itself is not installed here; the reference calls it with multichannel=True
+and no data_range, src/optimizer.py:168-173)."""
+
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import uniform_filter
+
+from codenerf_tpu.evaluation.metrics import psnr, reference_psnr_mse, ssim
+
+
+def _scipy_ssim_channel(x, y, data_range, win=7):
+    """Faithful transcription of skimage.metrics.structural_similarity for
+    one channel: uniform filter, unbiased covariance, border crop."""
+    NP = win ** 2
+    cov_norm = NP / (NP - 1)
+    ux = uniform_filter(x, win)
+    uy = uniform_filter(y, win)
+    uxx = uniform_filter(x * x, win)
+    uyy = uniform_filter(y * y, win)
+    uxy = uniform_filter(x * y, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+        (ux ** 2 + uy ** 2 + C1) * (vx + vy + C2)
+    )
+    pad = (win - 1) // 2
+    return S[pad:-pad, pad:-pad].mean()
+
+
+def _scipy_ssim(x, y, data_range):
+    return np.mean(
+        [_scipy_ssim_channel(x[..., c], y[..., c], data_range) for c in range(3)]
+    )
+
+
+def test_psnr_convention():
+    # -10*log10(mse): mse=0.01 -> 20 dB (src/optimizer.py:178-184)
+    np.testing.assert_allclose(float(psnr(jnp.asarray(0.01))), 20.0, rtol=1e-6)
+    np.testing.assert_allclose(float(psnr(jnp.asarray(1e-4))), 40.0, rtol=1e-6)
+
+
+def test_reference_mse(rng):
+    a = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(reference_psnr_mse(jnp.asarray(a), jnp.asarray(b))),
+        np.mean((a - b) ** 2), rtol=1e-5,
+    )
+
+
+def test_ssim_identical_images(rng):
+    x = rng.uniform(0, 1, (24, 24, 3)).astype(np.float32)
+    assert abs(float(ssim(jnp.asarray(x), jnp.asarray(x))) - 1.0) < 1e-5
+
+
+def test_ssim_matches_scipy_reference(rng):
+    x = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape), 0, 1).astype(np.float32)
+    for dr in (2.0, 1.0):
+        ours = float(ssim(jnp.asarray(x), jnp.asarray(y), data_range=dr))
+        theirs = _scipy_ssim(x, y, dr)
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_ssim_default_data_range_is_reference_quirk(rng):
+    # The reference omits data_range on float images; skimage then assumes
+    # range 2.0. Our default must reproduce that (SURVEY §6 parity).
+    x = rng.uniform(0, 1, (20, 20, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.2, x.shape), 0, 1).astype(np.float32)
+    default = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+    quirk = float(ssim(jnp.asarray(x), jnp.asarray(y), data_range=2.0))
+    correct = float(ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
+    assert default == quirk
+    assert default > correct  # the quirk inflates SSIM
+
+
+def test_ssim_grayscale(rng):
+    x = rng.uniform(0, 1, (16, 16)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.05, x.shape), 0, 1).astype(np.float32)
+    ours = float(ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
+    theirs = _scipy_ssim_channel(x, y, 1.0)
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
