@@ -32,13 +32,31 @@ class RayBatchPipeline:
         poses: np.ndarray,    # (N, V, 4, 4) float32
         focals: np.ndarray,   # (N,) float32
         seed: int = 0,
+        backend: str = "numpy",
     ):
+        """``backend``: "numpy" (default), "native" (C++ sampler from
+        native/ray_sampler.cpp — requires a toolchain, raises if absent), or
+        "auto" (native when buildable, else numpy). The two backends draw
+        from different (each internally deterministic) random streams."""
         assert images.dtype == np.uint8, "pipeline stores images as uint8"
-        self.images = images
-        self.poses = poses.astype(np.float32)
-        self.focals = focals.astype(np.float32)
+        self.images = np.ascontiguousarray(images)
+        self.poses = np.ascontiguousarray(poses.astype(np.float32))
+        self.focals = np.ascontiguousarray(focals.astype(np.float32))
         self.n_objects, self.n_views, self.H, self.W = images.shape[:4]
         self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._step = 0
+        if backend == "auto":
+            from codenerf_tpu.data.native import native_available
+
+            backend = "native" if native_available() else "numpy"
+        elif backend == "native":
+            from codenerf_tpu.data.native import native_available
+
+            if not native_available():
+                raise RuntimeError("native pipeline backend unavailable "
+                                   "(no C++ toolchain or build failed)")
+        self.backend = backend
 
     def _pixel_bounds(self, crop: bool):
         if crop:
@@ -57,8 +75,16 @@ class RayBatchPipeline:
           focal (B,)   float32
           rgb   (B, 3) float32 ground-truth pixel in [0, 1]
         """
-        rng = self._rng
         v0, v1, u0, u1 = self._pixel_bounds(crop)
+        if self.backend == "native":
+            from codenerf_tpu.data.native import sample_batch
+
+            self._step += 1
+            return sample_batch(
+                self.images, self.poses, self.focals, batch_size,
+                self._seed, self._step, v0, v1, u0, u1,
+            )
+        rng = self._rng
         obj = rng.integers(0, self.n_objects, batch_size, dtype=np.int64)
         view = rng.integers(0, self.n_views, batch_size, dtype=np.int64)
         pu = rng.integers(u0, u1, batch_size, dtype=np.int64)
