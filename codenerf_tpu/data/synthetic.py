@@ -34,6 +34,7 @@ def _look_at(cam_pos: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndar
 def _render_sphere(
     H: int, W: int, focal: float, c2w: np.ndarray,
     radius: float, albedo: np.ndarray,
+    pattern: bool = False,
 ) -> np.ndarray:
     """Analytic render of a lambertian-shaded sphere at the origin on a
     white background, with the renderer's camera convention
@@ -59,6 +60,13 @@ def _render_sphere(
     normal = point / max(radius, 1e-8)
     # Head-on lambert term keeps shading pose-consistent (light at camera).
     shade = np.clip(np.sum(normal * -rays_d, axis=-1), 0.2, 1.0)
+    if pattern:
+        # Smooth world-anchored surface pattern. A plain shaded sphere is
+        # rotation-invariant, which makes camera pose unobservable along the
+        # orbit — pose-optimization scenes need surface texture to lock onto.
+        p = point
+        shade = shade * (0.75 + 0.25 * np.sin(5.0 * p[..., 0])
+                         * np.sin(5.0 * p[..., 1]) * np.sin(5.0 * p[..., 2]))
     img = np.ones((H, W, 3))
     img[hit] = albedo[None, :] * shade[hit][..., None]
     return img.astype(np.float32)
@@ -72,6 +80,7 @@ def synthetic_scene(
     focal: Optional[float] = None,
     cam_distance: float = 4.0,
     seed: int = 0,
+    pattern: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Build an in-memory multi-object scene.
 
@@ -96,7 +105,8 @@ def synthetic_scene(
         )
         c2w = _look_at(cam, np.zeros(3), np.array([0.0, 0.0, 1.0]))
         for oi in range(n_objects):
-            img = _render_sphere(H, W, focal, c2w, radii[oi], albedos[oi])
+            img = _render_sphere(H, W, focal, c2w, radii[oi], albedos[oi],
+                                 pattern=pattern)
             images[oi, vi] = np.round(img * 255.0).astype(np.uint8)
             poses[oi, vi] = c2w.astype(np.float32)
 

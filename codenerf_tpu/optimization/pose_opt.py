@@ -51,11 +51,15 @@ def optimize_pose_and_codes(
     lr_half_interval: int = 50,
     rays_per_step: int = 2048,
     optimize_codes: bool = True,
+    pose_only_steps: int = 0,
     fine_params=None,
 ) -> PoseOptimizationResult:
     """Jointly refine (pose, codes) against one target image.
 
     ``optimize_codes=False`` freezes the codes (pure pose registration).
+    ``pose_only_steps > 0`` freezes the codes for the first k steps — the
+    pose/code ambiguity means free codes can absorb a pose error instead of
+    the pose correcting, so registering the pose first is usually better.
     """
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
@@ -103,17 +107,28 @@ def optimize_pose_and_codes(
     def run(variables0, key):
         opt_state0 = tx.init(variables0)
 
-        def step(carry, step_key):
+        def step(carry, xs):
+            step_idx, step_key = xs
             variables, opt_state = carry
             (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 variables, step_key
             )
             updates, opt_state = tx.update(grads, opt_state, variables)
+            # Pose-only warmup: suppress code updates for the first k steps.
+            code_gate = (step_idx >= pose_only_steps).astype(jnp.float32)
+            updates = {
+                "xi": updates["xi"],
+                "shape": updates["shape"] * code_gate,
+                "texture": updates["texture"] * code_gate,
+            }
             variables = optax.apply_updates(variables, updates)
             return (variables, opt_state), psnr_fn(mse)
 
         keys = jax.random.split(key, num_opts)
-        (variables, _), history = jax.lax.scan(step, (variables0, opt_state0), keys)
+        steps = jnp.arange(num_opts)
+        (variables, _), history = jax.lax.scan(
+            step, (variables0, opt_state0), (steps, keys)
+        )
         return variables, history
 
     variables0 = {

@@ -157,38 +157,68 @@ class Trainer:
         crop_phase = start < iters_crop
         batches = self.pipeline.prefetch(self.B, crop=crop_phase)
 
-        for step in range(start, iters_all):
-            if crop_phase and step >= iters_crop:
-                crop_phase = False
-                batches = self.pipeline.prefetch(self.B, crop=False)
-            batch = self._put(next(batches))
-            self.state, metrics = self._train_step(self.state, batch)
-            rays_since_log += self.B
+        step = start
+        try:
+            for step in range(start, iters_all):
+                if crop_phase and step >= iters_crop:
+                    crop_phase = False
+                    batches = self.pipeline.prefetch(self.B, crop=False)
+                batch = self._put(next(batches))
+                self.state, metrics = self._train_step(self.state, batch)
+                rays_since_log += self.B
 
-            next_step = step + 1
-            if next_step % log_every == 0 or next_step == iters_all:
-                last_metrics = {k: float(v) for k, v in metrics.items()}
-                dt = time.time() - t_phase
-                last_metrics["rays_per_sec"] = rays_since_log / max(dt, 1e-9)
-                self.logger.scalars(
-                    next_step,
-                    {
-                        "psnr/train": last_metrics["psnr"],
-                        "reg/train": last_metrics["reg"],
-                        "loss/train": last_metrics["loss"],
-                        "time/train": dt,
-                        "rays_per_sec": last_metrics["rays_per_sec"],
-                    },
-                )
-                t_phase = time.time()
-                rays_since_log = 0
-            if self.check_iter and next_step % self.check_iter == 0:
-                self._log_render(next_step)
-            if self.hp.check_points and next_step % self.hp.check_points == 0:
+                next_step = step + 1
+                if next_step % log_every == 0 or next_step == iters_all:
+                    last_metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t_phase
+                    last_metrics["rays_per_sec"] = rays_since_log / max(dt, 1e-9)
+                    self.logger.scalars(
+                        next_step,
+                        {
+                            "psnr/train": last_metrics["psnr"],
+                            "reg/train": last_metrics["reg"],
+                            "loss/train": last_metrics["loss"],
+                            "time/train": dt,
+                            "rays_per_sec": last_metrics["rays_per_sec"],
+                        },
+                    )
+                    t_phase = time.time()
+                    rays_since_log = 0
+                if self.check_iter and next_step % self.check_iter == 0:
+                    self._log_render(next_step)
+                if self.hp.check_points and next_step % self.hp.check_points == 0:
+                    self.save_checkpoint()
+        except (KeyboardInterrupt, Exception):
+            # Crash-safe checkpoint: the reference loses everything since the
+            # last epoch on any failure (no resume path at all, SURVEY §5.3);
+            # here an interrupted run resumes from the step it died at.
+            # In-flight donated buffers may be poisoned by the failure, so
+            # only save if the state is still fetchable.
+            try:
                 self.save_checkpoint()
+            except Exception:
+                pass
+            raise
 
         self.save_checkpoint()
         return last_metrics or {}
+
+    def profile_steps(self, n_steps: int = 5, trace_dir: Optional[str] = None) -> str:
+        """Capture a JAX profiler trace of ``n_steps`` training steps (view
+        with TensorBoard or xprof). The reference's only 'profiling' is
+        wall-clock TB scalars (``src/trainer.py:89,104``)."""
+        import jax.profiler
+
+        trace_dir = trace_dir or os.path.join(self.save_dir, "profile")
+        batch = self._put(self.pipeline.sample(self.B))
+        self.state, m = self._train_step(self.state, batch)  # compile first
+        np.asarray(m["loss"])
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(n_steps):
+            self.state, m = self._train_step(self.state, batch)
+        np.asarray(m["loss"])  # host fetch = real device sync on axon
+        jax.profiler.stop_trace()
+        return trace_dir
 
     # ------------------------------------------------------------- utilities
     def _put(self, batch: Dict[str, np.ndarray]):

@@ -92,6 +92,13 @@ def main() -> None:
                    "splits": args.splits, "num_opts": args.num_opts}, f,
                   indent=2)
 
+    from codenerf_tpu.utils.logging import MetricsLogger
+
+    # Reference TB scalar names: psnr_opt/<nviews>/<splits> etc.
+    # (src/optimizer.py:185-191).
+    logger = MetricsLogger(save_dir, use_tensorboard=True)
+    nviews = str(len(args.tgt_instances))
+
     latent_dim = optimizer.mean_shape.shape[-1]
     n = ds.n_objects
     out = {
@@ -116,6 +123,10 @@ def main() -> None:
             res.shape_code, res.texture_code, k_eval,
             return_images=args.save_img,
         )
+        hist = np.asarray(res.psnr_history)
+        for t, p in enumerate(hist):
+            logger.scalars(t + args.num_opts * oi,
+                           {f"psnr_opt/{nviews}/{args.splits}": float(p)})
         out["optimized_shapecodes"][oi] = np.asarray(res.shape_code)
         out["optimized_texturecodes"][oi] = np.asarray(res.texture_code)
         psnr_eval[ds.ids[oi]] = ev["psnr"].tolist()
