@@ -38,6 +38,7 @@ _EXTENSION_KEYS = {
     "weight_decay",
     "hierarchical_share_weights",
     "seed",
+    "use_fused_train",
 }
 
 
@@ -124,6 +125,11 @@ class Hparams:
     weight_decay: float = 0.01
     compute_dtype: str = "bfloat16"
     seed: int = 0
+    # Use the fused Pallas fwd+bwd kernels (ops/fused_train.py) for the
+    # training-step MLP instead of XLA autodiff. Requires W % 128 == 0 and
+    # a tile-divisible ray batch; also yields MORE accurate gradients (f32
+    # inter-layer cotangents and f32 dW accumulation).
+    use_fused_train: bool = False
     raw: Optional[Dict[str, Any]] = None
 
     def to_json_dict(self) -> Dict[str, Any]:
@@ -150,6 +156,7 @@ class Hparams:
             "compute_dtype": self.compute_dtype,
             "weight_decay": self.weight_decay,
             "seed": self.seed,
+            "use_fused_train": self.use_fused_train,
         }
         return d
 
@@ -192,6 +199,7 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
         weight_decay=float(cfg.get("weight_decay", 0.01)),
         compute_dtype=str(cfg.get("compute_dtype", "bfloat16")),
         seed=int(cfg.get("seed", 0)),
+        use_fused_train=bool(cfg.get("use_fused_train", False)),
         raw=dict(cfg),
     )
 

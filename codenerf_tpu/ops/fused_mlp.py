@@ -217,6 +217,19 @@ def fused_codenerf_apply(
     add("rgb_hidden")
     add("rgb_out", pad_out=8)
 
+    out = invoke_fwd(cfg, S, R, pe, sproj, tproj, vcontrib, wb)
+    sigmas = out[:, 0].reshape(R, S)
+    rgbs = out[:, 1:4].reshape(R, S, 3)
+    return sigmas, rgbs
+
+
+def invoke_fwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
+               wb) -> jnp.ndarray:
+    """Run the forward kernel on prepared operands. Returns (R*S, 8) f32
+    packed [sigma | rgb | pad]. Shared with ops/fused_train.py."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     P = _TILE_RAYS * S
     n_tiles = R // _TILE_RAYS
     grid = (n_tiles,)
@@ -242,7 +255,7 @@ def fused_codenerf_apply(
         64 + cfg.W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks)
         + cfg.W // 2
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, cfg, S),
         grid=grid,
         in_specs=in_specs,
@@ -254,7 +267,3 @@ def fused_codenerf_apply(
             transcendentals=R * S,
         ),
     )(pe, sproj, tproj, vcontrib, *wb)
-
-    sigmas = out[:, 0].reshape(R, S)
-    rgbs = out[:, 1:4].reshape(R, S, 3)
-    return sigmas, rgbs

@@ -56,6 +56,7 @@ def render_rays(
     key: Optional[jax.Array],
     fine_params=None,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    apply_fn=None,
 ) -> RenderResult:
     """Render a batch of rays.
 
@@ -66,6 +67,10 @@ def render_rays(
            (midpoint z-values + even CDF probes in the fine pass).
       fine_params: separate fine-network params when
            ``rcfg.share_fine_weights`` is False; ignored otherwise.
+      apply_fn: optional MLP evaluation override with the signature
+           ``fn(params, cfg, xyz, viewdir, s_code, t_code) -> (sigmas, rgbs)``
+           — used to swap in the fused Pallas kernels; defaults to the XLA
+           ``apply_codenerf``.
     """
     R = ray_o.shape[0]
     deterministic = key is None
@@ -85,10 +90,14 @@ def render_rays(
 
     def eval_and_composite(p, z_vals):
         xyz = ray_o[:, None, :] + viewdir[:, None, :] * z_vals[..., None]
-        sigmas, rgbs = apply_codenerf(
-            p, net_cfg, xyz, viewdir, shape_code, texture_code,
-            compute_dtype=compute_dtype,
-        )
+        if apply_fn is not None:
+            sigmas, rgbs = apply_fn(p, net_cfg, xyz, viewdir,
+                                    shape_code, texture_code)
+        else:
+            sigmas, rgbs = apply_codenerf(
+                p, net_cfg, xyz, viewdir, shape_code, texture_code,
+                compute_dtype=compute_dtype,
+            )
         return composite(sigmas, rgbs, z_vals, white_bg=rcfg.white_bg)
 
     coarse = eval_and_composite(params, z_coarse)

@@ -72,6 +72,19 @@ def build_train_step(
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
 
+    apply_fn = None
+    if hp.use_fused_train:
+        from codenerf_tpu.ops.fused_train import (
+            fused_apply_train,
+            make_fused_train_op,
+        )
+
+        _op = make_fused_train_op(net_cfg)
+
+        def apply_fn(p, cfg, xyz, viewdir, s_code, t_code):
+            return fused_apply_train(p, cfg, xyz, viewdir, s_code, t_code,
+                                     op=_op)
+
     def loss_fn(trainables, batch: Batch, key: jax.Array):
         shape_code = trainables["shape_codes"][batch["obj"]]
         texture_code = trainables["texture_codes"][batch["obj"]]

@@ -1,0 +1,111 @@
+"""Fused fwd+bwd training op vs jax.grad of the XLA path (interpret mode).
+
+The acceptance bar is accuracy against the FLOAT32 reference gradient: the
+fused backward must be at least as close to f32 truth as the XLA bfloat16
+autodiff path is (in practice it is ~30x closer — it keeps inter-layer
+cotangents in f32 and accumulates dW in f32 across tiles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codenerf_tpu.config import NetConfig
+from codenerf_tpu.models.codenerf import apply_codenerf, init_codenerf
+from codenerf_tpu.ops.fused_train import (
+    fused_apply_train,
+    fused_train_available,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret_pallas(monkeypatch):
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched, raising=True)
+
+
+def _setup(cfg, R, S, seed=1):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    xyz = jax.random.uniform(ks[0], (R, S, 3), jnp.float32, -1.3, 1.3)
+    vd = jax.random.normal(ks[1], (R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    sc = jax.random.normal(ks[2], (R, cfg.latent_dim)) * 0.09
+    tc = jax.random.normal(ks[3], (R, cfg.latent_dim)) * 0.09
+    tgt_s = jax.random.uniform(ks[4], (R, S))
+    tgt_r = jax.random.uniform(ks[5], (R, S, 3))
+    return xyz, vd, sc, tc, tgt_s, tgt_r
+
+
+def _flat(tree):
+    return jnp.concatenate([x.ravel().astype(jnp.float32)
+                            for x in jax.tree_util.tree_leaves(tree)])
+
+
+def test_fused_train_values_and_grads():
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 24
+    xyz, vd, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S)
+
+    def mk_loss(apply_fn, dtype=None):
+        def loss(p, sc, tc, xyz):
+            kwargs = {"compute_dtype": dtype} if dtype else {}
+            s, r = apply_fn(p, cfg, xyz, vd, sc, tc, **kwargs)
+            return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
+        return loss
+
+    args = (params, sc, tc, xyz)
+    l_ref = float(mk_loss(apply_codenerf, jnp.bfloat16)(*args))
+    l_fused = float(mk_loss(fused_apply_train)(*args))
+    assert abs(l_ref - l_fused) < 1e-4
+
+    g32 = jax.grad(mk_loss(apply_codenerf, jnp.float32), (0, 1, 2, 3))(*args)
+    g16 = jax.grad(mk_loss(apply_codenerf, jnp.bfloat16), (0, 1, 2, 3))(*args)
+    gfu = jax.grad(mk_loss(fused_apply_train), (0, 1, 2, 3))(*args)
+
+    for name, a16, afu, a32 in zip(
+        ["params", "shape_codes", "texture_codes", "xyz"], g16, gfu, g32
+    ):
+        v32, v16, vfu = _flat(a32), _flat(a16), _flat(afu)
+        rel_xla = float(jnp.linalg.norm(v16 - v32) / (jnp.linalg.norm(v32) + 1e-12))
+        rel_fused = float(jnp.linalg.norm(vfu - v32) / (jnp.linalg.norm(v32) + 1e-12))
+        # fused must be no worse than the XLA bf16 path (small slack)
+        assert rel_fused <= rel_xla * 1.5 + 1e-3, (name, rel_fused, rel_xla)
+        cos = float(jnp.dot(vfu, v32)
+                    / (jnp.linalg.norm(vfu) * jnp.linalg.norm(v32) + 1e-12))
+        assert cos > 0.99, (name, cos)
+
+
+def test_fused_train_flagship_architecture():
+    cfg = NetConfig()  # 3+1 blocks, W=256
+    params = init_codenerf(jax.random.PRNGKey(2), cfg)
+    R, S = 32, 8
+    xyz, vd, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S, seed=3)
+
+    def loss(p):
+        s, r = fused_apply_train(p, cfg, xyz, vd, sc, tc)
+        return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
+
+    def loss_ref(p):
+        s, r = apply_codenerf(p, cfg, xyz, vd, sc, tc,
+                              compute_dtype=jnp.bfloat16)
+        return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
+
+    gfu = jax.grad(loss)(params)
+    gref = jax.grad(loss_ref)(params)
+    v1, v2 = _flat(gfu), _flat(gref)
+    cos = float(jnp.dot(v1, v2) / (jnp.linalg.norm(v1) * jnp.linalg.norm(v2)))
+    assert cos > 0.99, cos
+
+
+def test_availability_rules():
+    assert fused_train_available(NetConfig(), 4096, 96)
+    assert not fused_train_available(NetConfig(W=192), 4096, 96)
+    assert not fused_train_available(NetConfig(), 100, 96)  # not divisible
