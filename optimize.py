@@ -56,6 +56,10 @@ def main() -> None:
     if os.environ.get("CODENERF_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["CODENERF_PLATFORM"])
 
+    from codenerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from codenerf_tpu.data.srn import SRNDataset

@@ -54,6 +54,10 @@ def main() -> None:
     if os.environ.get("CODENERF_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["CODENERF_PLATFORM"])
 
+    from codenerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from codenerf_tpu.parallel.mesh import make_mesh
     from codenerf_tpu.training.trainer import Trainer
 
