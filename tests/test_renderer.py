@@ -1,0 +1,103 @@
+"""Renderer-level tests: chunked image rendering consistency, hierarchical
+fine pass behavior, white-background plumbing, determinism."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codenerf_tpu.config import NetConfig, RenderConfig
+from codenerf_tpu.core.rays import camera_rays
+from codenerf_tpu.models.codenerf import init_codenerf
+from codenerf_tpu.renderer import render_image, render_rays
+
+
+def _setup():
+    cfg = NetConfig(shape_blocks=1, texture_blocks=1, W=32,
+                    num_xyz_freq=2, num_dir_freq=1, latent_dim=8)
+    rcfg = RenderConfig(n_samples=12, near=2.0, far=6.0)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    code = jax.random.normal(jax.random.PRNGKey(1), (8,)) * 0.1
+    c2w = jnp.eye(4).at[2, 3].set(4.0)
+    return cfg, rcfg, params, code, c2w
+
+
+def test_render_image_equals_chunked_render_rays():
+    cfg, rcfg, params, code, c2w = _setup()
+    H = W = 8
+    img = render_image(params, cfg, rcfg, H, W, 10.0, c2w, code, code,
+                       key=None, chunk=16, compute_dtype=jnp.float32)
+    ro, vd = camera_rays(H, W, 10.0, c2w)
+    res = render_rays(params, cfg, rcfg, ro, vd, code, code, key=None,
+                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(img).reshape(-1, 3),
+                               np.asarray(res.final.rgb), atol=1e-5)
+
+
+def test_deterministic_render_is_repeatable():
+    cfg, rcfg, params, code, c2w = _setup()
+    a = render_image(params, cfg, rcfg, 8, 8, 10.0, c2w, code, code,
+                     key=None, chunk=64, compute_dtype=jnp.float32)
+    b = render_image(params, cfg, rcfg, 8, 8, 10.0, c2w, code, code,
+                     key=None, chunk=64, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stochastic_render_differs_by_key():
+    cfg, rcfg, params, code, c2w = _setup()
+    ro, vd = camera_rays(8, 8, 10.0, c2w)
+    r1 = render_rays(params, cfg, rcfg, ro, vd, code, code,
+                     key=jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    r2 = render_rays(params, cfg, rcfg, ro, vd, code, code,
+                     key=jax.random.PRNGKey(1), compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(r1.final.rgb), np.asarray(r2.final.rgb))
+
+
+def test_hierarchical_returns_both_passes_with_more_samples():
+    cfg, rcfg, params, code, c2w = _setup()
+    rcfg = dataclasses.replace(rcfg, n_importance=8)
+    ro, vd = camera_rays(4, 4, 10.0, c2w)
+    res = render_rays(params, cfg, rcfg, ro, vd, code, code,
+                      key=jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    assert res.fine is not None
+    assert res.coarse.weights.shape == (16, 12)
+    assert res.fine.weights.shape == (16, 12 + 8)  # union of coarse+fine
+    assert res.final is res.fine
+
+
+def test_white_vs_black_background():
+    cfg, rcfg, params, code, c2w = _setup()
+    ro, vd = camera_rays(4, 4, 10.0, c2w)
+    # Zero-density model region: push rays away from any learned density by
+    # using a fresh model with near-zero sigma output.
+    params = jax.tree_util.tree_map(lambda x: x * 0.0, params)
+    res_w = render_rays(params, cfg, rcfg, ro, vd, code, code, key=None,
+                        compute_dtype=jnp.float32)
+    rcfg_b = dataclasses.replace(rcfg, white_bg=False)
+    res_b = render_rays(params, cfg, rcfg_b, ro, vd, code, code, key=None,
+                        compute_dtype=jnp.float32)
+    # sigma = softplus(0) = log 2 > 0, so some density exists; white bg adds
+    # (1 - acc) per channel
+    diff = np.asarray(res_w.final.rgb - res_b.final.rgb)
+    expected = (1.0 - np.asarray(res_w.final.acc))[:, None]
+    np.testing.assert_allclose(diff, np.broadcast_to(expected, diff.shape),
+                               atol=1e-5)
+
+
+def test_fine_pass_sharpens_depth():
+    """With hierarchical sampling, fine depth estimates should have no more
+    variance across rays hitting the same surface than coarse ones (sanity:
+    runs, finite, within near/far)."""
+    cfg, rcfg, params, code, c2w = _setup()
+    rcfg = dataclasses.replace(rcfg, n_importance=16)
+    ro, vd = camera_rays(8, 8, 10.0, c2w)
+    res = render_rays(params, cfg, rcfg, ro, vd, code, code,
+                      key=jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    d = np.asarray(res.fine.depth)
+    assert np.isfinite(d).all()
+    acc = np.asarray(res.fine.acc)
+    hit = acc > 0.5
+    if hit.any():
+        assert d[hit].min() >= rcfg.near - 0.1
+        assert d[hit].max() <= rcfg.far + 0.1
