@@ -75,6 +75,7 @@ class SRNDataset:
         data_dir: str = "data/ShapeNet_SRN",
         max_objects: Optional[int] = None,
         view_indices: Optional[Sequence[int]] = None,
+        workers: int = 8,
     ):
         self.root = os.path.join(data_dir, cat, splits)
         self.ids = sorted(f.name for f in os.scandir(self.root) if f.is_dir())
@@ -83,16 +84,29 @@ class SRNDataset:
         if not self.ids:
             raise FileNotFoundError(f"No objects under {self.root}")
 
-        images, poses, focals = [], [], []
-        H = W = None
-        for obj_id in self.ids:
+        def load_object(obj_id):
             obj_dir = os.path.join(self.root, obj_id)
             pose_files = _sorted_files(os.path.join(obj_dir, "pose"))
             img_files = _sorted_files(os.path.join(obj_dir, "rgb"))
             if view_indices is not None:
                 pose_files = [pose_files[i] for i in view_indices]
                 img_files = [img_files[i] for i in view_indices]
-            focal, h, w = load_intrinsics(os.path.join(obj_dir, "intrinsics.txt"))
+            focal, h, w = load_intrinsics(
+                os.path.join(obj_dir, "intrinsics.txt"))
+            poses = np.stack([load_pose(p) for p in pose_files])
+            images = np.stack([_load_image_u8(p) for p in img_files])
+            return focal, h, w, poses, images
+
+        # PNG decode dominates load time for real splits (123K images for
+        # SRN-cars train); PIL releases the GIL, so threads scale.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            loaded = list(ex.map(load_object, self.ids))
+
+        H = W = None
+        images, poses, focals = [], [], []
+        for obj_id, (focal, h, w, p, im) in zip(self.ids, loaded):
             if H is None:
                 H, W = h, w
             elif (H, W) != (h, w):
@@ -100,8 +114,8 @@ class SRNDataset:
                     f"Inconsistent image size in split: {obj_id} is {h}x{w}, "
                     f"expected {H}x{W}"
                 )
-            poses.append(np.stack([load_pose(p) for p in pose_files]))
-            images.append(np.stack([_load_image_u8(p) for p in img_files]))
+            poses.append(p)
+            images.append(im)
             focals.append(focal)
 
         self.poses = np.stack(poses)          # (N, V, 4, 4)

@@ -66,9 +66,18 @@ def build_train_step(
     H: int,
     W: int,
     tx: optax.GradientTransformation,
+    microbatch_rays: int = 0,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns the un-jitted step function; callers jit it with the sharding
-    constraints they want (see ``parallel/mesh.py`` and ``Trainer``)."""
+    constraints they want (see ``parallel/mesh.py`` and ``Trainer``).
+
+    ``microbatch_rays > 0`` runs the loss/backward as a rematerialized
+    ``lax.scan`` over fixed-size ray microbatches with f32 gradient
+    accumulation — activation memory is bounded by the microbatch instead of
+    the full batch, enabling arbitrarily large effective batches (the
+    TPU-native analog of the reference's serial 2048-ray chunk loop with
+    grad accumulation, ``src/trainer.py:69-84``, minus its per-image
+    zero_grad bug)."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
 
@@ -112,11 +121,43 @@ def build_train_step(
         }
         return loss, metrics
 
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def full_grads(trainables, batch: Batch, key: jax.Array):
+        if not microbatch_rays:
+            return grad_fn(trainables, batch, key)
+        B = batch["rgb"].shape[0]
+        if B % microbatch_rays != 0:
+            raise ValueError(
+                f"batch {B} not divisible by microbatch {microbatch_rays}")
+        k = B // microbatch_rays
+        mbs = {
+            name: v.reshape(k, microbatch_rays, *v.shape[1:])
+            for name, v in batch.items()
+        }
+        keys = jax.random.split(key, k)
+        mb_grad = jax.checkpoint(grad_fn)
+
+        def body(carry, xs):
+            acc, _ = carry
+            mb = {name: xs[i] for i, name in enumerate(sorted(mbs))}
+            g, m = mb_grad(trainables, mb, xs[-1])
+            acc = jax.tree_util.tree_map(
+                lambda a, b: a + b.astype(jnp.float32), acc, g)
+            return (acc, m), None
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), trainables)
+        xs = tuple(mbs[name] for name in sorted(mbs)) + (keys,)
+        dummy_m = {"loss": jnp.zeros(()), "mse": jnp.zeros(()),
+                   "psnr": jnp.zeros(()), "reg": jnp.zeros(())}
+        (acc, metrics), _ = jax.lax.scan(body, (zeros, dummy_m), xs)
+        grads = jax.tree_util.tree_map(lambda g: g / k, acc)
+        return grads, metrics  # metrics from the last microbatch
+
     def train_step(state: TrainState, batch: Batch):
         rng, key = jax.random.split(state.rng)
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(
-            state.trainables, batch, key
-        )
+        grads, metrics = full_grads(state.trainables, batch, key)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainables)
         trainables = optax.apply_updates(state.trainables, updates)
         new_state = state.replace(

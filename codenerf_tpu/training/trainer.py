@@ -59,6 +59,7 @@ class Trainer:
         use_tensorboard: bool = False,
         check_iter: int = 10000,
         max_objects: Optional[int] = None,
+        microbatch_rays: int = 0,
     ):
         """``dataset`` is anything exposing images/poses/focals/H/W (an
         :class:`SRNDataset` or a synthetic scene dict); when omitted it is
@@ -100,7 +101,8 @@ class Trainer:
             jax.random.PRNGKey(self.hp.seed), self.hp, self.n_objects, self.tx
         )
 
-        step_fn = build_train_step(self.hp, self.H, self.W, self.tx)
+        step_fn = build_train_step(self.hp, self.H, self.W, self.tx,
+                                   microbatch_rays=microbatch_rays)
         if mesh is not None:
             st_sh = state_shardings(mesh, self.state)
             b_sh = batch_sharding(mesh)

@@ -45,6 +45,9 @@ def main() -> None:
     parser.add_argument("--max_objects", type=int, default=None)
     parser.add_argument("--log_every", type=int, default=100)
     parser.add_argument("--check_iter", type=int, default=10000)
+    parser.add_argument("--microbatch", type=int, default=0,
+                        help="rays per gradient-accumulation microbatch "
+                             "(0 = whole batch at once)")
     args = parser.parse_args()
 
     import os
@@ -75,6 +78,7 @@ def main() -> None:
         use_tensorboard=args.tensorboard,
         check_iter=args.check_iter,
         max_objects=args.max_objects,
+        microbatch_rays=args.microbatch,
     )
     if args.resume and trainer.resume():
         print(f"resumed from step {int(trainer.state.step)}")
