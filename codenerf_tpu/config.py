@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 # Keys understood at the top level of a hyperparameter JSON file. The first
 # group mirrors the reference schema exactly; the second group is our

@@ -53,6 +53,7 @@ def fused_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
     return (
         cfg.W % 128 == 0
         and (cfg.W // 2) % 128 == 0
+        and cfg.d_xyz <= 64   # PE input is padded to 64 lanes
         and n_rays % _TILE_RAYS == 0
         and (_TILE_RAYS * n_samples) % 16 == 0
     )

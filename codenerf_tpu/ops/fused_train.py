@@ -47,6 +47,7 @@ def fused_train_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
     return (
         cfg.W % 128 == 0
         and (cfg.W // 2) % 128 == 0
+        and cfg.d_xyz <= 64   # PE input is padded to 64 lanes
         and cfg.shape_blocks >= 1
         and cfg.texture_blocks >= 1
         and n_rays % max(_TILE_RAYS, fused_mlp._TILE_RAYS) == 0

@@ -21,7 +21,6 @@ TPU-native design:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -157,6 +156,7 @@ class CodeOptimizer:
 
     def __post_init__(self):
         self._eval_fn = None
+        self._eval_key = None  # (H, W, chunk) the cached eval fn was built for
 
     def optimize_object(
         self,
@@ -222,8 +222,9 @@ class CodeOptimizer:
         SURVEY §2.3 #2)."""
         H, W = images.shape[1:3]
         chunk = min(self.chunk, H * W)
-        if self._eval_fn is None:
+        if self._eval_fn is None or self._eval_key != (H, W, chunk):
             self._eval_fn = self._build_eval(H, W, chunk)
+            self._eval_key = (H, W, chunk)
         psnrs, ssims, idxs, rendered = [], [], [], []
         excl = set(int(i) for i in exclude_views)
         for v in range(images.shape[0]):

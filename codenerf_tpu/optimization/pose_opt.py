@@ -14,7 +14,7 @@ pixels (static subset size -> no recompiles).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the whole state roundtrips through checkpoints, making resume exact.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax
