@@ -39,6 +39,7 @@ _EXTENSION_KEYS = {
     "hierarchical_share_weights",
     "seed",
     "use_fused_train",
+    "bound_sphere_radius",
 }
 
 
@@ -86,6 +87,11 @@ class RenderConfig:
     # When hierarchical sampling is on: reuse the coarse network for the fine
     # pass (True) or keep a separate fine parameter set (False).
     share_fine_weights: bool = True
+    # Optional origin-centered bounding-sphere radius: per-ray [t0, t1]
+    # sampling bounds via ray/sphere intersection (core/rays.py) — the fixed
+    # sample budget concentrates on the object instead of empty space.
+    # Absent from the reference (one global slab only).
+    bound_sphere_radius: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -153,6 +159,7 @@ class Hparams:
             "white_bg": self.render.white_bg,
             "shared_jitter": self.render.shared_jitter,
             "hierarchical_share_weights": self.render.share_fine_weights,
+            "bound_sphere_radius": self.render.bound_sphere_radius,
             "compute_dtype": self.compute_dtype,
             "weight_decay": self.weight_decay,
             "seed": self.seed,
@@ -176,6 +183,10 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
         white_bg=bool(cfg.get("white_bg", True)),
         shared_jitter=bool(cfg.get("shared_jitter", False)),
         share_fine_weights=bool(cfg.get("hierarchical_share_weights", True)),
+        bound_sphere_radius=(
+            float(cfg["bound_sphere_radius"])
+            if cfg.get("bound_sphere_radius") is not None else None
+        ),
     )
     sched = cfg.get(
         "lr_schedule",

@@ -29,8 +29,8 @@ def fixed_zvals(near: float, far: float, n_samples: int) -> jnp.ndarray:
 
 def stratified_zvals(
     key: jax.Array,
-    near: float,
-    far: float,
+    near,
+    far,
     n_samples: int,
     num_rays: Optional[int] = None,
     shared: bool = False,
@@ -41,10 +41,31 @@ def stratified_zvals(
     ``h = (far - near) / (2N)``, plus ``U[0, 1) * h`` jitter — exactly the
     reference's formula (``src/utils.py:26-29``).
 
+    ``near``/``far`` may be scalars or per-ray ``(num_rays,)`` arrays
+    (per-ray bounds from :func:`core.rays.ray_sphere_bounds`; the reference
+    only supports one global slab).
+
     Returns shape ``(num_rays, n_samples)`` when ``num_rays`` is given and
     ``shared`` is False (per-ray stratification, the proper default), else
     ``(n_samples,)`` (one vector broadcast across rays, the reference quirk).
     """
+    per_ray_bounds = (
+        hasattr(near, "ndim") and getattr(near, "ndim", 0) > 0
+    ) or (hasattr(far, "ndim") and getattr(far, "ndim", 0) > 0)
+    if per_ray_bounds:
+        if num_rays is None or shared:
+            raise ValueError("per-ray near/far requires num_rays and "
+                             "per-ray jitter")
+        near = jnp.broadcast_to(jnp.asarray(near, jnp.float32), (num_rays,))
+        far = jnp.broadcast_to(jnp.asarray(far, jnp.float32), (num_rays,))
+        half = ((far - near) / (2.0 * n_samples))[:, None]
+        t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)[None, :]
+        base = near[:, None] + half + t * (far - near)[:, None] * (
+            (n_samples - 1.0) / n_samples if n_samples > 1 else 0.0
+        )
+        jitter = jax.random.uniform(key, (num_rays, n_samples),
+                                    dtype=jnp.float32)
+        return base + jitter * half
     half = (far - near) / (2.0 * n_samples)
     base = jnp.linspace(near + half, far - half, n_samples, dtype=jnp.float32)
     if shared or num_rays is None:

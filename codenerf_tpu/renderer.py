@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from codenerf_tpu.config import NetConfig, RenderConfig
 from codenerf_tpu.core.render import RenderOutput, composite
-from codenerf_tpu.core.rays import camera_rays
+from codenerf_tpu.core.rays import camera_rays, ray_sphere_bounds
 from codenerf_tpu.core.sampling import (
     fixed_zvals,
     sample_pdf,
@@ -74,15 +74,30 @@ def render_rays(
     """
     R = ray_o.shape[0]
     deterministic = key is None
+    # Per-ray bounds: tighten [near, far] to the object's bounding sphere so
+    # the fixed sample budget lands on the object (shared_jitter is by
+    # definition one global slab, so bounds are skipped in that quirk mode).
+    use_bounds = rcfg.bound_sphere_radius is not None and not rcfg.shared_jitter
+    if use_bounds:
+        t0, t1 = ray_sphere_bounds(ray_o, viewdir, rcfg.near, rcfg.far,
+                                   rcfg.bound_sphere_radius)
     if deterministic:
-        z_coarse = jnp.broadcast_to(
-            fixed_zvals(rcfg.near, rcfg.far, rcfg.n_samples), (R, rcfg.n_samples)
-        )
+        if use_bounds:
+            t = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=jnp.float32)
+            z_coarse = t0[:, None] + t[None, :] * (t1 - t0)[:, None]
+        else:
+            z_coarse = jnp.broadcast_to(
+                fixed_zvals(rcfg.near, rcfg.far, rcfg.n_samples),
+                (R, rcfg.n_samples),
+            )
         key_fine = None
     else:
         key_z, key_fine = jax.random.split(key)
         z_coarse = stratified_zvals(
-            key_z, rcfg.near, rcfg.far, rcfg.n_samples,
+            key_z,
+            t0 if use_bounds else rcfg.near,
+            t1 if use_bounds else rcfg.far,
+            rcfg.n_samples,
             num_rays=R, shared=rcfg.shared_jitter,
         )
         if z_coarse.ndim == 1:

@@ -256,3 +256,47 @@ def test_refine_pose_gradient_flows():
     g = jax.grad(f)(jnp.asarray([0.0, 0, 0, 1.0, 0, 0]))
     assert np.isfinite(np.asarray(g)).all()
     assert abs(float(g[3]) - 2.0) < 1e-4
+
+
+# ------------------------------------------------------- sphere bounds
+def test_ray_sphere_bounds_hit_and_miss():
+    from codenerf_tpu.core.rays import ray_sphere_bounds
+
+    ro = jnp.asarray([[0.0, 0.0, 4.0], [0.0, 0.0, 4.0]])
+    vd = jnp.asarray([[0.0, 0.0, -1.0],   # straight at the sphere
+                      [1.0, 0.0, 0.0]])   # misses entirely
+    t0, t1 = ray_sphere_bounds(ro, vd, near=1.0, far=8.0, radius=1.0)
+    # hit: analytic [3, 5]
+    np.testing.assert_allclose(float(t0[0]), 3.0, atol=1e-5)
+    np.testing.assert_allclose(float(t1[0]), 5.0, atol=1e-5)
+    # miss: degenerate sliver at near (shape-static, not culled)
+    assert float(t0[1]) == 1.0
+    assert float(t1[1]) > float(t0[1])
+    assert float(t1[1]) < 1.1
+
+
+def test_ray_sphere_bounds_clipped_to_slab():
+    from codenerf_tpu.core.rays import ray_sphere_bounds
+
+    ro = jnp.asarray([[0.0, 0.0, 4.0]])
+    vd = jnp.asarray([[0.0, 0.0, -1.0]])
+    t0, t1 = ray_sphere_bounds(ro, vd, near=3.5, far=4.5, radius=1.0)
+    np.testing.assert_allclose(float(t0[0]), 3.5, atol=1e-5)
+    np.testing.assert_allclose(float(t1[0]), 4.5, atol=1e-5)
+
+
+def test_stratified_per_ray_bounds():
+    key = jax.random.PRNGKey(0)
+    near = jnp.asarray([1.0, 2.0, 3.0])
+    far = jnp.asarray([2.0, 4.0, 3.5])
+    z = np.asarray(stratified_zvals(key, near, far, 16, num_rays=3))
+    assert z.shape == (3, 16)
+    for i in range(3):
+        assert z[i].min() >= float(near[i])
+        assert z[i].max() <= float(far[i]) + 1e-6
+        assert (np.diff(z[i]) > 0).all()
+    # per-ray bounds reject shared mode
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_zvals(key, near, far, 16, num_rays=3, shared=True)

@@ -101,3 +101,27 @@ def test_fine_pass_sharpens_depth():
     if hit.any():
         assert d[hit].min() >= rcfg.near - 0.1
         assert d[hit].max() <= rcfg.far + 0.1
+
+
+def test_sphere_bounded_sampling_improves_sample_placement():
+    """With a bounding sphere configured, all samples must lie inside the
+    per-ray sphere interval, and rendering still works end to end."""
+    cfg, rcfg, params, code, c2w = _setup()
+    rcfg_b = dataclasses.replace(rcfg, bound_sphere_radius=1.0)
+    ro, vd = camera_rays(8, 8, 10.0, c2w)
+    res = render_rays(params, cfg, rcfg_b, ro, vd, code, code,
+                      key=jax.random.PRNGKey(0), compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(res.final.rgb)).all()
+
+    from codenerf_tpu.core.rays import ray_sphere_bounds
+    from codenerf_tpu.core.sampling import stratified_zvals
+
+    t0, t1 = ray_sphere_bounds(ro, vd, rcfg.near, rcfg.far, 1.0)
+    z = stratified_zvals(jax.random.PRNGKey(1), t0, t1, rcfg.n_samples,
+                         num_rays=ro.shape[0])
+    z = np.asarray(z)
+    assert (z >= np.asarray(t0)[:, None] - 1e-5).all()
+    assert (z <= np.asarray(t1)[:, None] + 1e-5).all()
+    # central rays hit the sphere: their interval is much tighter than the slab
+    hit_width = np.asarray(t1 - t0)
+    assert hit_width.min() < 0.8 * (rcfg.far - rcfg.near)
