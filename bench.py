@@ -113,11 +113,44 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     render_time = time.perf_counter() - t0
     render_rays_total = n_render_dispatches * rays_per_dispatch
 
+    # ---- efficient-render mode (informational): sphere-bounded sampling at
+    # a 32-sample budget — measured to match full-budget quality on
+    # origin-normalized scenes (see core/rays.ray_sphere_bounds).
+    import dataclasses
+
+    rcfg_eff = dataclasses.replace(hp.render, n_samples=32,
+                                   bound_sphere_radius=1.4)
+
+    @jax.jit
+    def render_views_eff(ro, vd, key):
+        def chunk(xs):
+            ro_c, vd_c, k = xs
+            res = render_rays(params, hp.net, rcfg_eff, ro_c, vd_c,
+                              shape_code, texture_code, k,
+                              compute_dtype=jnp.bfloat16)
+            return res.final.rgb
+
+        keys = jax.random.split(key, ro.shape[0])
+        return jax.lax.map(chunk, (ro, vd, keys))
+
+    out = render_views_eff(ro, vd, key)
+    sync(out[0, 0, 0])
+    for i in range(3):
+        out = render_views_eff(ro, vd, jax.random.fold_in(key, 2000 + i))
+    sync(out[0, 0, 0])
+    t0 = time.perf_counter()
+    for i in range(n_render_dispatches):
+        out = render_views_eff(ro, vd, jax.random.fold_in(key, i))
+    sync(out[0, 0, 0])
+    eff_time = time.perf_counter() - t0
+    eff_rays_per_sec = (n_render_dispatches * rays_per_dispatch) / eff_time
+
     combined = (train_rays + render_rays_total) / (train_time + render_time)
     return {
         "rays_per_sec_combined": combined,
         "rays_per_sec_train": train_rays / train_time,
         "rays_per_sec_render": render_rays_total / render_time,
+        "rays_per_sec_render_bounded32": eff_rays_per_sec,
         "n_devices": len(jax.devices()),
     }
 
@@ -135,6 +168,8 @@ def main() -> None:
         "detail": {
             "train_rays_per_sec": round(r["rays_per_sec_train"], 1),
             "render_rays_per_sec": round(r["rays_per_sec_render"], 1),
+            "render_bounded32_rays_per_sec": round(
+                r["rays_per_sec_render_bounded32"], 1),
             "n_devices": r["n_devices"],
         },
     }))
