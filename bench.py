@@ -113,10 +113,33 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     render_time = time.perf_counter() - t0
     render_rays_total = n_render_dispatches * rays_per_dispatch
 
+    # ---- efficient-train mode (informational): sphere-bounded sampling at
+    # a 48-sample budget (jsonfiles/srncar_bounded.json semantics).
+    import dataclasses
+
+    hp_b = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, n_samples=48,
+                                       bound_sphere_radius=1.4))
+    state_b = create_train_state(jax.random.PRNGKey(0), hp_b,
+                                 pipe.n_objects, tx)
+    step_b = jax.jit(build_train_step(hp_b, pipe.H, pipe.W, tx),
+                     donate_argnums=0)
+    state_b, m = step_b(state_b, batches[0])
+    sync(m["loss"])
+    for i in range(12):
+        state_b, m = step_b(state_b, batches[i % len(batches)])
+    sync(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(n_train_steps):
+        state_b, m = step_b(state_b, batches[i % len(batches)])
+    sync(m["loss"])
+    train_bounded_rays_per_sec = (n_train_steps * batch) / (
+        time.perf_counter() - t0)
+    del state_b
+
     # ---- efficient-render mode (informational): sphere-bounded sampling at
     # a 32-sample budget — measured to match full-budget quality on
     # origin-normalized scenes (see core/rays.ray_sphere_bounds).
-    import dataclasses
 
     rcfg_eff = dataclasses.replace(hp.render, n_samples=32,
                                    bound_sphere_radius=1.4)
@@ -151,6 +174,7 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
         "rays_per_sec_train": train_rays / train_time,
         "rays_per_sec_render": render_rays_total / render_time,
         "rays_per_sec_render_bounded32": eff_rays_per_sec,
+        "rays_per_sec_train_bounded48": train_bounded_rays_per_sec,
         "n_devices": len(jax.devices()),
     }
 
@@ -170,6 +194,8 @@ def main() -> None:
             "render_rays_per_sec": round(r["rays_per_sec_render"], 1),
             "render_bounded32_rays_per_sec": round(
                 r["rays_per_sec_render_bounded32"], 1),
+            "train_bounded48_rays_per_sec": round(
+                r["rays_per_sec_train_bounded48"], 1),
             "n_devices": r["n_devices"],
         },
     }))
