@@ -178,7 +178,7 @@ class CodeOptimizer:
             chunk=self.chunk, fine_params=self.fine_params,
         )
 
-    def _build_eval(self, H: int, W: int, chunk: int):
+    def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
         net_cfg, rcfg = self.hp.net, self.hp.render
         compute_dtype = resolve_dtype(self.hp.compute_dtype)
 
@@ -194,7 +194,8 @@ class CodeOptimizer:
                 ro_i, vd_i, k = xs
                 res = render_rays(
                     self.params, net_cfg, rcfg, ro_i, vd_i,
-                    shape_code, texture_code, k,
+                    shape_code, texture_code,
+                    None if deterministic else k,
                     fine_params=self.fine_params, compute_dtype=compute_dtype,
                 )
                 return res.final.rgb
@@ -215,16 +216,19 @@ class CodeOptimizer:
         texture_code: jnp.ndarray,
         key: jax.Array,
         return_images: bool = False,
+        deterministic: bool = False,
     ) -> Dict[str, np.ndarray]:
         """PSNR/SSIM on every view not in ``exclude_views`` — the reference
-        eval protocol (``src/optimizer.py:107-135``), including its use of
-        jittered z-sampling at eval time (callers never pass z_fixed;
-        SURVEY §2.3 #2)."""
+        eval protocol (``src/optimizer.py:107-135``), which uses JITTERED
+        z-sampling at eval time (callers never pass z_fixed; SURVEY §2.3
+        quirk 2). ``deterministic=True`` renders midpoint z-values instead
+        (the z_fixed analog the reference never exercises)."""
         H, W = images.shape[1:3]
         chunk = min(self.chunk, H * W)
-        if self._eval_fn is None or self._eval_key != (H, W, chunk):
-            self._eval_fn = self._build_eval(H, W, chunk)
-            self._eval_key = (H, W, chunk)
+        cache_key = (H, W, chunk, deterministic)
+        if self._eval_fn is None or self._eval_key != cache_key:
+            self._eval_fn = self._build_eval(H, W, chunk, deterministic)
+            self._eval_key = cache_key
         psnrs, ssims, idxs, rendered = [], [], [], []
         excl = set(int(i) for i in exclude_views)
         for v in range(images.shape[0]):

@@ -49,6 +49,9 @@ def main() -> None:
     parser.add_argument("--batchsize", type=int, default=4096)
     parser.add_argument("--exps_root", type=str, default="exps")
     parser.add_argument("--max_objects", type=int, default=None)
+    parser.add_argument("--deterministic_eval", type=str2bool, default=False,
+                        help="midpoint z-values at eval (the reference "
+                             "always evaluates with jittered sampling)")
     args = parser.parse_args()
 
     import jax
@@ -126,6 +129,7 @@ def main() -> None:
             imgs, poses, focal, args.tgt_instances,
             res.shape_code, res.texture_code, k_eval,
             return_images=args.save_img,
+            deterministic=args.deterministic_eval,
         )
         hist = np.asarray(res.psnr_history)
         for t, p in enumerate(hist):
