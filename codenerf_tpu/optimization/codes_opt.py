@@ -55,9 +55,11 @@ def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
 
 
 def _chunked(x: jnp.ndarray, chunk: int):
+    from codenerf_tpu.renderer import pick_chunk
+
     n = x.shape[0]
     if n % chunk != 0:
-        raise ValueError(f"ray count {n} not divisible by chunk {chunk}")
+        chunk = pick_chunk(n, chunk)
     return x.reshape(n // chunk, chunk, *x.shape[1:])
 
 
@@ -79,7 +81,9 @@ def optimize_codes(
     """Optimize one object's codes against flat target rays. Fully jitted."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
-    chunk = min(chunk, ray_o.shape[0])
+    from codenerf_tpu.renderer import pick_chunk
+
+    chunk = pick_chunk(ray_o.shape[0], chunk)
     ro_c = _chunked(ray_o, chunk)
     vd_c = _chunked(viewdir, chunk)
     gt_c = _chunked(gt_rgb, chunk)
@@ -223,8 +227,10 @@ class CodeOptimizer:
         z-sampling at eval time (callers never pass z_fixed; SURVEY §2.3
         quirk 2). ``deterministic=True`` renders midpoint z-values instead
         (the z_fixed analog the reference never exercises)."""
+        from codenerf_tpu.renderer import pick_chunk
+
         H, W = images.shape[1:3]
-        chunk = min(self.chunk, H * W)
+        chunk = pick_chunk(H * W, self.chunk)
         cache_key = (H, W, chunk, deterministic)
         if self._eval_fn is None or self._eval_key != cache_key:
             self._eval_fn = self._build_eval(H, W, chunk, deterministic)

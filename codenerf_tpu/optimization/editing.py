@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from codenerf_tpu.config import Hparams, resolve_dtype
 from codenerf_tpu.core.rays import camera_rays
-from codenerf_tpu.renderer import render_rays
+from codenerf_tpu.renderer import pick_chunk, render_rays
 
 
 def interpolate_codes(code_a: jnp.ndarray, code_b: jnp.ndarray,
@@ -43,9 +43,8 @@ def render_code_grid(
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     n_rays = H * W
-    chunk = min(chunk, n_rays)
     if n_rays % chunk != 0:
-        raise ValueError(f"H*W={n_rays} must be divisible by chunk={chunk}")
+        chunk = pick_chunk(n_rays, chunk)
     ro, vd = camera_rays(H, W, focal, c2w)
     ro_c = ro.reshape(n_rays // chunk, chunk, 3)
     vd_c = vd.reshape(n_rays // chunk, chunk, 3)

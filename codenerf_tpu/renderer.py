@@ -45,6 +45,18 @@ class RenderResult(NamedTuple):
         return self.fine if self.fine is not None else self.coarse
 
 
+def pick_chunk(n_rays: int, target: int = 4096) -> int:
+    """Largest divisor of ``n_rays`` that is <= ``target`` — chunked
+    renderers need the chunk to divide the ray count exactly (128x128 gives
+    the natural 4096; 96x96 gives 3072, etc.)."""
+    if n_rays <= target:
+        return n_rays
+    for c in range(target, 0, -1):
+        if n_rays % c == 0:
+            return c
+    return n_rays
+
+
 def render_rays(
     params,
     net_cfg: NetConfig,
@@ -157,9 +169,8 @@ def render_image(
     ``src/optimizer.py:79-85``).
     """
     n_rays = H * W
-    chunk = min(chunk, n_rays)
     if n_rays % chunk != 0:
-        raise ValueError(f"H*W={n_rays} must be divisible by chunk={chunk}")
+        chunk = pick_chunk(n_rays, chunk)
     ray_o, viewdir = camera_rays(H, W, focal, c2w)
     n_chunks = n_rays // chunk
     ro = ray_o.reshape(n_chunks, chunk, 3)

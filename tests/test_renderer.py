@@ -125,3 +125,20 @@ def test_sphere_bounded_sampling_improves_sample_placement():
     # central rays hit the sphere: their interval is much tighter than the slab
     hit_width = np.asarray(t1 - t0)
     assert hit_width.min() < 0.8 * (rcfg.far - rcfg.near)
+
+
+def test_render_image_non_divisible_chunk_autopicks():
+    """96x96-style sizes where the requested chunk doesn't divide H*W must
+    still render (largest dividing chunk is chosen automatically)."""
+    from codenerf_tpu.renderer import pick_chunk
+
+    assert pick_chunk(16384, 4096) == 4096
+    assert pick_chunk(9216, 4096) == 3072  # 96x96
+    assert pick_chunk(576, 4096) == 576
+    assert 2304 % pick_chunk(2304, 1000) == 0
+    cfg, rcfg, params, code, c2w = _setup()
+    img = render_image(params, cfg, rcfg, 6, 6, 10.0, c2w, code, code,
+                       key=None, chunk=5,  # 5 does not divide 36
+                       compute_dtype=jnp.float32)
+    assert img.shape == (6, 6, 3)
+    assert np.isfinite(np.asarray(img)).all()
