@@ -1,0 +1,198 @@
+"""Rendering service: a warm-executor HTTP server over a trained model.
+
+The reference has no serving story (research scripts only); this module
+keeps a checkpoint's parameters device-resident, compiles one renderer per
+requested image size, and serves renders over HTTP (stdlib only — no
+external web framework):
+
+  GET  /healthz  -> {"status": "ok", "device": "...", "n_objects": N}
+  GET  /stats    -> request count + latency quantiles
+  POST /render   -> image/png
+     JSON body:
+       camera: either {"c2w": 4x4 nested list}
+               or     {"azimuth": rad, "elevation": rad, "radius": float}
+       codes:  either {"obj": int}  (a training object's codes)
+               or     {"shape_code": [D], "texture_code": [D]}
+       optional: "H", "W" (default 128), "focal" (default 1.1*W),
+                 "deterministic" (default true)
+
+Requests are serialized onto the single device through a lock; per-size
+executables are cached after first use (first request for a new size pays
+the compile).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class RenderServer:
+    def __init__(self, trainables: Dict[str, Any], hp, host: str = "127.0.0.1",
+                 port: int = 0):
+        import jax
+
+        self.trainables = trainables
+        self.hp = hp
+        self.n_objects = int(np.asarray(trainables["shape_codes"]).shape[0])
+        self._render_fns: Dict[Tuple[int, int, bool], Any] = {}
+        self._lock = threading.Lock()
+        self._latencies = []
+        self._count = 0
+        self._device = str(jax.devices()[0])
+        self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
+        self.host, self.port = self._httpd.server_address[:2]
+
+    @classmethod
+    def from_checkpoint(cls, run_dir: str, hp, **kw) -> "RenderServer":
+        import os
+
+        from codenerf_tpu.utils.checkpoint import restore_raw
+
+        raw = restore_raw(os.path.join(run_dir, "ckpt"))
+        return cls(raw["trainables"], hp, **kw)
+
+    # ------------------------------------------------------------ rendering
+    def _get_render_fn(self, H: int, W: int, deterministic: bool):
+        import jax
+
+        from codenerf_tpu.config import resolve_dtype
+        from codenerf_tpu.renderer import pick_chunk, render_image
+
+        key = (H, W, deterministic)
+        if key not in self._render_fns:
+            chunk = pick_chunk(H * W, 4096)
+            tr = self.trainables
+
+            def fn(c2w, focal, shape_code, texture_code, rng):
+                return render_image(
+                    tr["params"], self.hp.net, self.hp.render, H, W, focal,
+                    c2w, shape_code, texture_code,
+                    key=None if deterministic else rng,
+                    chunk=chunk, fine_params=tr.get("fine_params"),
+                    compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                )
+
+            self._render_fns[key] = jax.jit(fn)
+        return self._render_fns[key]
+
+    def render(self, req: Dict[str, Any]) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        H = int(req.get("H", 128))
+        W = int(req.get("W", 128))
+        focal = float(req.get("focal", 1.1 * W))
+        deterministic = bool(req.get("deterministic", True))
+
+        if "c2w" in req:
+            c2w = np.asarray(req["c2w"], dtype=np.float32)
+            if c2w.shape != (4, 4):
+                raise ValueError("c2w must be 4x4")
+        else:
+            from tools.render_orbit import orbit_pose
+
+            c2w = orbit_pose(float(req.get("azimuth", 0.0)),
+                             float(req.get("elevation", 0.3)),
+                             float(req.get("radius", 1.3)))
+
+        if "obj" in req:
+            obj = int(req["obj"])
+            if not 0 <= obj < self.n_objects:
+                raise ValueError(f"obj must be in [0, {self.n_objects})")
+            shape_code = self.trainables["shape_codes"][obj]
+            texture_code = self.trainables["texture_codes"][obj]
+        elif "shape_code" in req and "texture_code" in req:
+            shape_code = jnp.asarray(req["shape_code"], jnp.float32)
+            texture_code = jnp.asarray(req["texture_code"], jnp.float32)
+        else:
+            raise ValueError("provide 'obj' or 'shape_code'+'texture_code'")
+
+        fn = self._get_render_fn(H, W, deterministic)
+        rng = jax.random.PRNGKey(int(req.get("seed", 0)))
+        with self._lock:
+            t0 = time.perf_counter()
+            img = np.asarray(fn(jnp.asarray(c2w), jnp.asarray(focal),
+                                shape_code, texture_code, rng))
+            self._latencies.append(time.perf_counter() - t0)
+            self._count += 1
+        return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+    def stats(self) -> Dict[str, Any]:
+        lat = np.asarray(self._latencies[-1000:]) if self._latencies else np.zeros(1)
+        return {
+            "requests": self._count,
+            "latency_ms": {
+                "p50": float(np.quantile(lat, 0.5) * 1e3),
+                "p95": float(np.quantile(lat, 0.95) * 1e3),
+                "max": float(lat.max() * 1e3),
+            },
+            "compiled_sizes": [list(k) for k in self._render_fns],
+        }
+
+    # ------------------------------------------------------------------ http
+    def _handler_class(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _json(self, code: int, payload: Dict[str, Any]):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"status": "ok", "device": server._device,
+                                     "n_objects": server.n_objects})
+                elif self.path == "/stats":
+                    self._json(200, server.stats())
+                else:
+                    self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/render":
+                    self._json(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    img = server.render(req)
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    Image.fromarray(img).save(buf, format="PNG")
+                    data = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+
+        return Handler
+
+    # -------------------------------------------------------------- control
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -138,3 +138,30 @@ def test_render_code_grid_and_matrix(trained):
     # diagonal entries equal the per-object renders; off-diagonals are swaps
     np.testing.assert_allclose(np.asarray(mat[0, 0]), np.asarray(imgs[0]),
                                atol=1e-5)
+
+
+def test_code_opt_with_hierarchical_and_bounds(trained):
+    """Test-time optimization + eval must work with hierarchical sampling
+    and sphere-bounded z-ranges configured (shared fine weights)."""
+    import dataclasses
+
+    opt, tr, scene, hp = _make_optimizer(trained)
+    hp2 = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, n_importance=6,
+                                       bound_sphere_radius=1.6),
+    )
+    opt2 = CodeOptimizer(params=opt.params, hp=hp2,
+                         mean_shape=opt.mean_shape,
+                         mean_texture=opt.mean_texture, chunk=256)
+    imgs = _images_f32(scene, 0)
+    res = opt2.optimize_object(
+        imgs, scene["poses"][0], float(scene["focals"][0]), tgt_views=[0],
+        key=jax.random.PRNGKey(7), num_opts=20, lr=1e-2, lr_half_interval=10,
+    )
+    assert np.isfinite(np.asarray(res.psnr_history)).all()
+    ev = opt2.evaluate_object(
+        imgs, scene["poses"][0], float(scene["focals"][0]), [0],
+        res.shape_code, res.texture_code, jax.random.PRNGKey(8),
+        deterministic=True,
+    )
+    assert np.isfinite(ev["psnr"]).all()

@@ -177,3 +177,15 @@ def test_microbatched_grads_match_full_batch(tiny_scene, tiny_hparams):
                                pipe.n_objects, tx)
     with pytest.raises(ValueError, match="not divisible"):
         step_bad(state, batch)
+
+
+def test_training_with_sphere_bounds(tiny_scene, tiny_hparams, tmp_path):
+    hp = dataclasses.replace(
+        tiny_hparams,
+        render=dataclasses.replace(tiny_hparams.render,
+                                   bound_sphere_radius=1.5),
+    )
+    tr = Trainer("tb", hp, batch_size=256, dataset=tiny_scene,
+                 exps_root=str(tmp_path), check_iter=0)
+    m = tr.training(iters_crop=0, iters_all=40, log_every=40)
+    assert np.isfinite(m["loss"])
