@@ -186,6 +186,7 @@ class RenderServer:
 
     # -------------------------------------------------------------- control
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
     def start_background(self) -> threading.Thread:
@@ -194,5 +195,8 @@ class RenderServer:
         return t
 
     def shutdown(self):
-        self._httpd.shutdown()
+        # HTTPServer.shutdown() blocks forever unless serve_forever is
+        # running — guard so shutting down a never-started server works.
+        if getattr(self, "_serving", False):
+            self._httpd.shutdown()
         self._httpd.server_close()

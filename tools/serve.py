@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--exps_root", type=str, default="exps")
     ap.add_argument("--host", type=str, default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--warmup", type=str, default="128x128",
+                    help="comma-separated HxW sizes to pre-compile at boot "
+                         "('' to skip); first request is then compile-free")
     args = ap.parse_args()
 
     from codenerf_tpu.config import load_hparams
@@ -38,6 +41,10 @@ def main() -> None:
         os.path.join(args.exps_root, args.saved_dir), hp,
         host=args.host, port=args.port,
     )
+    for size in filter(None, args.warmup.split(",")):
+        h, w = (int(x) for x in size.lower().split("x"))
+        print(f"warmup: compiling {h}x{w} renderer ...", flush=True)
+        server.render({"obj": 0, "H": h, "W": w})
     print(f"serving {server.n_objects} objects on "
           f"http://{server.host}:{server.port}  (POST /render, GET /healthz)")
     server.serve_forever()
