@@ -189,3 +189,19 @@ def test_training_with_sphere_bounds(tiny_scene, tiny_hparams, tmp_path):
                  exps_root=str(tmp_path), check_iter=0)
     m = tr.training(iters_crop=0, iters_all=40, log_every=40)
     assert np.isfinite(m["loss"])
+
+
+def test_training_is_bitwise_reproducible(tiny_scene, tiny_hparams, tmp_path):
+    """Same seed -> bitwise-identical parameters after training. The
+    reference cannot reproduce runs at all (unseeded view choice, z-jitter
+    and code init — SURVEY §2.3 quirk 11); here every random stream is keyed."""
+
+    def run(tag):
+        tr = Trainer(tag, tiny_hparams, batch_size=256, dataset=tiny_scene,
+                     exps_root=str(tmp_path), check_iter=0)
+        tr.training(iters_crop=5, iters_all=15, log_every=15)
+        return tr.state.trainables
+
+    a, b = run("repro_a"), run("repro_b")
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
