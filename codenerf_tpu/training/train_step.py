@@ -84,9 +84,20 @@ def build_train_step(
     apply_fn = None
     if hp.use_fused_train:
         from codenerf_tpu.ops.fused_train import (
+            _TILE_RAYS,
             fused_apply_train,
+            fused_train_available,
             make_fused_train_op,
         )
+
+        probe_rays = 32 * _TILE_RAYS  # architecture check only
+        if not fused_train_available(net_cfg, probe_rays, rcfg.n_samples):
+            raise ValueError(
+                "use_fused_train requires W % 128 == 0, W/2 >= 128, "
+                "num_xyz_freq <= 10 and >= 1 shape/texture block "
+                f"(got W={net_cfg.W}, d_xyz={net_cfg.d_xyz}, "
+                f"blocks={net_cfg.shape_blocks}/{net_cfg.texture_blocks})"
+            )
 
         _op = make_fused_train_op(net_cfg)
 
