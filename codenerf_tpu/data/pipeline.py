@@ -46,6 +46,7 @@ class RayBatchPipeline:
         self._rng = np.random.default_rng(seed)
         self._seed = seed
         self._step = 0
+        self._stream_count = 0
         if backend == "auto":
             from codenerf_tpu.data.native import native_available
 
@@ -65,8 +66,15 @@ class RayBatchPipeline:
                     self.W // 4, self.W - self.W // 4)
         return 0, self.H, 0, self.W
 
-    def sample(self, batch_size: int, crop: bool = False) -> Dict[str, np.ndarray]:
+    def sample(self, batch_size: int, crop: bool = False,
+               rng: np.random.Generator = None,
+               native_step: int = None) -> Dict[str, np.ndarray]:
         """One training batch of rays, sampled i.i.d. across the dataset.
+
+        ``rng``/``native_step`` override the pipeline's own stream — used by
+        :meth:`prefetch` so each iterator draws from an independent,
+        deterministic stream (a background worker sharing the pipeline RNG
+        would make the batch sequence depend on thread timing).
 
         Returns host numpy arrays:
           obj   (B,)   int32   object index (latent-code row)
@@ -79,12 +87,15 @@ class RayBatchPipeline:
         if self.backend == "native":
             from codenerf_tpu.data.native import sample_batch
 
-            self._step += 1
+            if native_step is None:
+                self._step += 1
+                native_step = self._step
             return sample_batch(
                 self.images, self.poses, self.focals, batch_size,
-                self._seed, self._step, v0, v1, u0, u1,
+                self._seed, native_step, v0, v1, u0, u1,
             )
-        rng = self._rng
+        if rng is None:
+            rng = self._rng
         obj = rng.integers(0, self.n_objects, batch_size, dtype=np.int64)
         view = rng.integers(0, self.n_views, batch_size, dtype=np.int64)
         pu = rng.integers(u0, u1, batch_size, dtype=np.int64)
@@ -117,13 +128,28 @@ class RayBatchPipeline:
 
     def prefetch(self, batch_size: int, crop: bool = False,
                  depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
-        """Endless iterator of batches produced on a background thread."""
+        """Endless iterator of batches produced on a background thread.
+
+        Each call gets its own deterministic stream derived from
+        (pipeline seed, stream index), so the sequence of batches is
+        independent of thread scheduling and of any earlier (possibly
+        still-draining) prefetch iterator. Close the iterator (``.close()``)
+        to stop its worker.
+        """
+        stream_id = self._stream_count
+        self._stream_count += 1
+        rng = np.random.default_rng([self._seed, stream_id])
         q: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(maxsize=depth)
         stop = threading.Event()
 
         def worker():
+            i = 0
             while not stop.is_set():
-                batch = self.sample(batch_size, crop=crop)
+                batch = self.sample(
+                    batch_size, crop=crop, rng=rng,
+                    native_step=(stream_id << 32) | i,
+                )
+                i += 1
                 while not stop.is_set():
                     try:
                         q.put(batch, timeout=0.1)

@@ -164,6 +164,7 @@ class Trainer:
             for step in range(start, iters_all):
                 if crop_phase and step >= iters_crop:
                     crop_phase = False
+                    batches.close()  # stop the crop-phase worker
                     batches = self.pipeline.prefetch(self.B, crop=False)
                 batch = self._put(next(batches))
                 self.state, metrics = self._train_step(self.state, batch)
@@ -201,6 +202,8 @@ class Trainer:
             except Exception:
                 pass
             raise
+        finally:
+            batches.close()  # stop the prefetch worker
 
         self.save_checkpoint()
         return last_metrics or {}
