@@ -165,3 +165,25 @@ def test_code_opt_with_hierarchical_and_bounds(trained):
         deterministic=True,
     )
     assert np.isfinite(ev["psnr"]).all()
+
+
+def test_pose_only_warmup_freezes_codes(trained):
+    """During the pose-only warmup phase, code updates must be suppressed."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    obj, view = 0, 1
+    image = jnp.asarray(_images_f32(scene, obj)[view])
+    shape0 = tr.state.trainables["shape_codes"][obj]
+    tex0 = tr.state.trainables["texture_codes"][obj]
+    res = optimize_pose_and_codes(
+        tr.state.trainables["params"], hp, image,
+        jnp.asarray(scene["poses"][obj, view]), float(scene["focals"][obj]),
+        shape0, tex0, key=jax.random.PRNGKey(5),
+        num_opts=10, pose_only_steps=10,  # entire run is pose-only
+        lr_codes=1e-2, lr_pose=1e-3, rays_per_step=128,
+    )
+    np.testing.assert_array_equal(np.asarray(res.shape_code),
+                                  np.asarray(shape0))
+    np.testing.assert_array_equal(np.asarray(res.texture_code),
+                                  np.asarray(tex0))
+    # ...and the pose DID move (some gradient was applied)
+    assert float(jnp.abs(res.xi).max()) > 0.0
