@@ -25,10 +25,40 @@ __version__ = "0.1.0"
 
 from codenerf_tpu.config import Hparams, NetConfig, RenderConfig, load_hparams
 
+
+def __getattr__(name):
+    """Lazy top-level API: the heavyweight entry points import on first use
+    so `import codenerf_tpu` stays cheap."""
+    lazy = {
+        "Trainer": ("codenerf_tpu.training.trainer", "Trainer"),
+        "CodeOptimizer": ("codenerf_tpu.optimization.codes_opt", "CodeOptimizer"),
+        "RenderServer": ("codenerf_tpu.serving", "RenderServer"),
+        "render_rays": ("codenerf_tpu.renderer", "render_rays"),
+        "render_image": ("codenerf_tpu.renderer", "render_image"),
+        "SRNDataset": ("codenerf_tpu.data.srn", "SRNDataset"),
+        "synthetic_scene": ("codenerf_tpu.data.synthetic", "synthetic_scene"),
+        "make_mesh": ("codenerf_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'codenerf_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "Hparams",
     "NetConfig",
     "RenderConfig",
     "load_hparams",
+    "Trainer",
+    "CodeOptimizer",
+    "RenderServer",
+    "render_rays",
+    "render_image",
+    "SRNDataset",
+    "synthetic_scene",
+    "make_mesh",
     "__version__",
 ]
