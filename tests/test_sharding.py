@@ -106,6 +106,27 @@ def test_tensor_parallel_matches_single_device(tiny_scene, tiny_hparams):
                                    rtol=2e-3, atol=1e-5)
 
 
+def test_driver_dryrun_multichip_fresh_process():
+    """The driver's verbatim multi-chip check, in a fresh process with the
+    DEFAULT environment (no conftest platform forcing): dryrun_multichip must
+    self-force the 8-virtual-CPU platform (MULTICHIP_r01 regression)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, f"stderr:\n{res.stderr}\nstdout:\n{res.stdout}"
+    assert "ok" in res.stdout
+
+
 def test_trainer_with_mesh(tiny_scene, tiny_hparams, tmp_path):
     from codenerf_tpu.training.trainer import Trainer
 
