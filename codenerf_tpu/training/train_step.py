@@ -67,6 +67,7 @@ def build_train_step(
     W: int,
     tx: optax.GradientTransformation,
     microbatch_rays: int = 0,
+    batch_size: int = 0,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns the un-jitted step function; callers jit it with the sharding
     constraints they want (see ``parallel/mesh.py`` and ``Trainer``).
@@ -83,27 +84,32 @@ def build_train_step(
 
     apply_fn = None
     if hp.use_fused_train:
-        from codenerf_tpu.ops.fused_train import (
-            _TILE_RAYS,
-            fused_apply_train,
-            fused_train_available,
-            make_fused_train_op,
-        )
+        from codenerf_tpu.ops import fused_train as ft
 
-        probe_rays = 32 * _TILE_RAYS  # architecture check only
-        if not fused_train_available(net_cfg, probe_rays, rcfg.n_samples):
-            raise ValueError(
-                "use_fused_train requires W % 128 == 0, W/2 >= 128, "
-                "num_xyz_freq <= 10 and >= 1 shape/texture block "
-                f"(got W={net_cfg.W}, d_xyz={net_cfg.d_xyz}, "
-                f"blocks={net_cfg.shape_blocks}/{net_cfg.texture_blocks})"
-            )
+        # Validate against the ACTUAL per-step MLP shapes, not a probe: the
+        # kernel tiles the ray axis, so the step's ray count must divide into
+        # tiles, for every sample count the renderer will evaluate (coarse,
+        # and coarse+fine when hierarchical sampling is on).
+        step_rays = microbatch_rays or batch_size or 32 * ft._TILE_RAYS
+        sample_counts = [rcfg.n_samples]
+        if rcfg.n_importance > 0:
+            sample_counts.append(rcfg.n_samples + rcfg.n_importance)
+        for s in sample_counts:
+            if not ft.fused_train_available(net_cfg, step_rays, s):
+                raise ValueError(
+                    "use_fused_train requires W % 128 == 0, W/2 >= 128, "
+                    "num_xyz_freq <= 10, >= 1 shape/texture block and a "
+                    "tile-divisible ray count "
+                    f"(got W={net_cfg.W}, d_xyz={net_cfg.d_xyz}, "
+                    f"blocks={net_cfg.shape_blocks}/{net_cfg.texture_blocks}, "
+                    f"rays/step={step_rays}, samples={s})"
+                )
 
-        _op = make_fused_train_op(net_cfg)
+        _op = ft.make_fused_train_op(net_cfg)
 
         def apply_fn(p, cfg, xyz, viewdir, s_code, t_code):
-            return fused_apply_train(p, cfg, xyz, viewdir, s_code, t_code,
-                                     op=_op)
+            return ft.fused_apply_train(p, cfg, xyz, viewdir, s_code, t_code,
+                                        op=_op)
 
     def loss_fn(trainables, batch: Batch, key: jax.Array):
         shape_code = trainables["shape_codes"][batch["obj"]]
@@ -114,6 +120,7 @@ def build_train_step(
             shape_code, texture_code, key,
             fine_params=trainables.get("fine_params"),
             compute_dtype=compute_dtype,
+            apply_fn=apply_fn,
         )
         mse = jnp.mean((res.final.rgb - batch["rgb"]) ** 2)
         loss = mse
