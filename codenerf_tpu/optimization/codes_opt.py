@@ -54,13 +54,10 @@ def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
     return jnp.concatenate(ros), jnp.concatenate(vds), jnp.concatenate(gts)
 
 
-def _chunked(x: jnp.ndarray, chunk: int):
-    from codenerf_tpu.renderer import pick_chunk
+def _chunked(x: jnp.ndarray, chunk: int, n_padded: int):
+    from codenerf_tpu.renderer import pad_rays
 
-    n = x.shape[0]
-    if n % chunk != 0:
-        chunk = pick_chunk(n, chunk)
-    return x.reshape(n // chunk, chunk, *x.shape[1:])
+    return pad_rays(x, n_padded).reshape(-1, chunk, *x.shape[1:])
 
 
 def optimize_codes(
@@ -81,13 +78,16 @@ def optimize_codes(
     """Optimize one object's codes against flat target rays. Fully jitted."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
-    from codenerf_tpu.renderer import pick_chunk
+    from codenerf_tpu.renderer import chunk_plan
 
-    chunk = pick_chunk(ray_o.shape[0], chunk)
-    ro_c = _chunked(ray_o, chunk)
-    vd_c = _chunked(viewdir, chunk)
-    gt_c = _chunked(gt_rgb, chunk)
     n_rays = ray_o.shape[0]
+    chunk, _, n_padded = chunk_plan(n_rays, chunk)
+    ro_c = _chunked(ray_o, chunk, n_padded)
+    vd_c = _chunked(viewdir, chunk, n_padded)
+    gt_c = _chunked(gt_rgb, chunk, n_padded)
+    # Pad rays (edge-repeats) must not contribute to the loss.
+    mask = jnp.arange(n_padded, dtype=jnp.float32) < n_rays
+    mask_c = mask.reshape(-1, chunk)
 
     # AdamW on the two code vectors only (model params are captured as
     # constants — frozen exactly like the reference, optimizer.py:195-198).
@@ -98,20 +98,20 @@ def optimize_codes(
         shape_code, texture_code = codes
 
         def body(carry, xs):
-            ro, vd, gt, k = xs
+            ro, vd, gt, m, k = xs
             res = render_rays(
                 params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
                 fine_params=fine_params, compute_dtype=compute_dtype,
             )
-            se = jnp.sum((res.final.rgb - gt) ** 2)
+            se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
             if res.fine is not None:
-                se = se + jnp.sum((res.coarse.rgb - gt) ** 2)
+                se = se + jnp.sum(m[:, None] * (res.coarse.rgb - gt) ** 2)
             return carry + se, None
 
         keys = jax.random.split(step_key, ro_c.shape[0])
         total_se, _ = jax.lax.scan(
             jax.checkpoint(body), jnp.zeros((), jnp.float32),
-            (ro_c, vd_c, gt_c, keys),
+            (ro_c, vd_c, gt_c, mask_c, keys),
         )
         mse = total_se / (n_rays * 3.0)
         reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
@@ -185,13 +185,15 @@ class CodeOptimizer:
     def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
         net_cfg, rcfg = self.hp.net, self.hp.render
         compute_dtype = resolve_dtype(self.hp.compute_dtype)
+        from codenerf_tpu.renderer import chunk_plan, pad_rays
+
+        chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
 
         @jax.jit
         def eval_view(c2w, focal, gt, shape_code, texture_code, key):
             ro, vd = camera_rays(H, W, focal, c2w)
-            n_chunks = (H * W) // chunk
-            ro_c = ro.reshape(n_chunks, chunk, 3)
-            vd_c = vd.reshape(n_chunks, chunk, 3)
+            ro_c = pad_rays(ro, n_padded).reshape(n_chunks, chunk, 3)
+            vd_c = pad_rays(vd, n_padded).reshape(n_chunks, chunk, 3)
             keys = jax.random.split(key, n_chunks)
 
             def render_chunk(xs):
@@ -204,7 +206,8 @@ class CodeOptimizer:
                 )
                 return res.final.rgb
 
-            rgb = jax.lax.map(render_chunk, (ro_c, vd_c, keys)).reshape(H, W, 3)
+            rgb = jax.lax.map(render_chunk, (ro_c, vd_c, keys)).reshape(
+                n_padded, 3)[:H * W].reshape(H, W, 3)
             mse = reference_psnr_mse(rgb, gt)
             return rgb, psnr_fn(mse), ssim_fn(rgb, gt)
 
@@ -227,13 +230,10 @@ class CodeOptimizer:
         z-sampling at eval time (callers never pass z_fixed; SURVEY §2.3
         quirk 2). ``deterministic=True`` renders midpoint z-values instead
         (the z_fixed analog the reference never exercises)."""
-        from codenerf_tpu.renderer import pick_chunk
-
         H, W = images.shape[1:3]
-        chunk = pick_chunk(H * W, self.chunk)
-        cache_key = (H, W, chunk, deterministic)
+        cache_key = (H, W, self.chunk, deterministic)
         if self._eval_fn is None or self._eval_key != cache_key:
-            self._eval_fn = self._build_eval(H, W, chunk, deterministic)
+            self._eval_fn = self._build_eval(H, W, self.chunk, deterministic)
             self._eval_key = cache_key
         psnrs, ssims, idxs, rendered = [], [], [], []
         excl = set(int(i) for i in exclude_views)

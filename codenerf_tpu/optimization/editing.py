@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from codenerf_tpu.config import Hparams, resolve_dtype
 from codenerf_tpu.core.rays import camera_rays
-from codenerf_tpu.renderer import pick_chunk, render_rays
+from codenerf_tpu.renderer import chunk_plan, pad_rays, render_rays
 
 
 def interpolate_codes(code_a: jnp.ndarray, code_b: jnp.ndarray,
@@ -43,11 +43,10 @@ def render_code_grid(
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     n_rays = H * W
-    if n_rays % chunk != 0:
-        chunk = pick_chunk(n_rays, chunk)
+    chunk, n_chunks, n_padded = chunk_plan(n_rays, chunk)
     ro, vd = camera_rays(H, W, focal, c2w)
-    ro_c = ro.reshape(n_rays // chunk, chunk, 3)
-    vd_c = vd.reshape(n_rays // chunk, chunk, 3)
+    ro_c = pad_rays(ro, n_padded).reshape(n_chunks, chunk, 3)
+    vd_c = pad_rays(vd, n_padded).reshape(n_chunks, chunk, 3)
 
     @jax.jit
     def render_all(shape_codes, texture_codes):
@@ -62,7 +61,8 @@ def render_code_grid(
                 )
                 return res.final.rgb
 
-            return jax.lax.map(render_chunk, (ro_c, vd_c)).reshape(H, W, 3)
+            return jax.lax.map(render_chunk, (ro_c, vd_c)).reshape(
+                n_padded, 3)[:n_rays].reshape(H, W, 3)
 
         return jax.lax.map(render_one, (shape_codes, texture_codes))
 

@@ -45,16 +45,39 @@ class RenderResult(NamedTuple):
         return self.fine if self.fine is not None else self.coarse
 
 
-def pick_chunk(n_rays: int, target: int = 4096) -> int:
-    """Largest divisor of ``n_rays`` that is <= ``target`` — chunked
-    renderers need the chunk to divide the ray count exactly (128x128 gives
-    the natural 4096; 96x96 gives 3072, etc.)."""
+def chunk_plan(n_rays: int, target: int = 4096) -> tuple:
+    """Plan fixed-size ray chunking: returns ``(chunk, n_chunks, n_padded)``.
+
+    Prefers an exact divisor of ``n_rays`` when a reasonable one exists
+    (>= half the target — zero padding waste; 128x128 gives the natural
+    4096, 96x96 gives 3072). Otherwise keeps the chunk at ``target`` and
+    pads the ray axis up to ``n_padded = n_chunks * chunk`` (waste < one
+    chunk). Previously a prime ray count degraded to chunk=1 — a 127x127
+    render would have issued 16,129 sequential ``lax.map`` steps."""
     if n_rays <= target:
-        return n_rays
-    for c in range(target, 0, -1):
+        return n_rays, 1, n_rays
+    for c in range(target, target // 2 - 1, -1):
         if n_rays % c == 0:
-            return c
-    return n_rays
+            return c, n_rays // c, n_rays
+    n_chunks = -(-n_rays // target)
+    return target, n_chunks, n_chunks * target
+
+
+def pick_chunk(n_rays: int, target: int = 4096) -> int:
+    """Chunk size from :func:`chunk_plan`. When it does not divide
+    ``n_rays``, callers must pad the ray axis (see :func:`pad_rays`)."""
+    return chunk_plan(n_rays, target)[0]
+
+
+def pad_rays(x: jnp.ndarray, n_padded: int) -> jnp.ndarray:
+    """Pad the leading (ray) axis to ``n_padded`` by edge-repeating the last
+    row — pad rays stay geometrically valid, outputs are sliced away."""
+    n = x.shape[0]
+    if n == n_padded:
+        return x
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(x[-1:], (n_padded - n, *x.shape[1:]))], axis=0
+    )
 
 
 def render_rays(
@@ -169,12 +192,10 @@ def render_image(
     ``src/optimizer.py:79-85``).
     """
     n_rays = H * W
-    if n_rays % chunk != 0:
-        chunk = pick_chunk(n_rays, chunk)
+    chunk, n_chunks, n_padded = chunk_plan(n_rays, chunk)
     ray_o, viewdir = camera_rays(H, W, focal, c2w)
-    n_chunks = n_rays // chunk
-    ro = ray_o.reshape(n_chunks, chunk, 3)
-    vd = viewdir.reshape(n_chunks, chunk, 3)
+    ro = pad_rays(ray_o, n_padded).reshape(n_chunks, chunk, 3)
+    vd = pad_rays(viewdir, n_padded).reshape(n_chunks, chunk, 3)
     keys = (
         jax.random.split(key, n_chunks) if key is not None else jnp.zeros((n_chunks,))
     )
@@ -189,4 +210,4 @@ def render_image(
         return res.final.rgb
 
     rgb = jax.lax.map(render_chunk, (ro, vd, keys))
-    return rgb.reshape(H, W, 3)
+    return rgb.reshape(n_padded, 3)[:n_rays].reshape(H, W, 3)

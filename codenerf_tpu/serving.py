@@ -63,11 +63,10 @@ class RenderServer:
         import jax
 
         from codenerf_tpu.config import resolve_dtype
-        from codenerf_tpu.renderer import pick_chunk, render_image
+        from codenerf_tpu.renderer import render_image
 
         key = (H, W, deterministic)
         if key not in self._render_fns:
-            chunk = pick_chunk(H * W, 4096)
             tr = self.trainables
 
             def fn(c2w, focal, shape_code, texture_code, rng):
@@ -75,7 +74,7 @@ class RenderServer:
                     tr["params"], self.hp.net, self.hp.render, H, W, focal,
                     c2w, shape_code, texture_code,
                     key=None if deterministic else rng,
-                    chunk=chunk, fine_params=tr.get("fine_params"),
+                    chunk=4096, fine_params=tr.get("fine_params"),
                     compute_dtype=resolve_dtype(self.hp.compute_dtype),
                 )
 

@@ -54,6 +54,15 @@ def main() -> None:
                              "always evaluates with jittered sampling)")
     args = parser.parse_args()
 
+    import sys
+
+    if args.gpu != 0:
+        print(
+            f"WARNING: --gpu={args.gpu} is ignored: device selection is "
+            "JAX's (set JAX_PLATFORMS)",
+            file=sys.stderr,
+        )
+
     import jax
 
     if os.environ.get("CODENERF_PLATFORM"):

@@ -117,3 +117,22 @@ def test_train_then_optimize_cli(workdir):
     )
     assert r4.returncode == 0, r4.stderr[-3000:]
     assert (exp / "test_2").is_dir()
+
+
+def test_ignored_reference_flags_warn(tmp_path):
+    """Non-default values of reference-compat flags with different semantics
+    here must warn on stderr (they used to be silently ignored). The bogus
+    jsonfile makes the process exit fast, after the warnings are printed."""
+    r = _run(
+        [os.path.join(REPO, "train.py"), "--num_instances_per_obj", "3",
+         "--gpu", "2", "--jsonfile", "does_not_exist.json"],
+        cwd=str(tmp_path),
+    )
+    assert "--num_instances_per_obj=3" in r.stderr and "ignored" in r.stderr
+    assert "--gpu=2" in r.stderr
+    r2 = _run(
+        [os.path.join(REPO, "optimize.py"), "--gpu", "1",
+         "--jsonfile", "does_not_exist.json"],
+        cwd=str(tmp_path),
+    )
+    assert "--gpu=1" in r2.stderr and "ignored" in r2.stderr

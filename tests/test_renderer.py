@@ -142,3 +142,25 @@ def test_render_image_non_divisible_chunk_autopicks():
                        compute_dtype=jnp.float32)
     assert img.shape == (6, 6, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_prime_ray_counts_pad_instead_of_degrading():
+    """A 127x127-style prime ray count must NOT degrade to chunk=1 (16K
+    sequential lax.map steps); it pads the tail chunk and slices (ADVICE r1).
+    The padded render must be numerically identical to the direct one."""
+    from codenerf_tpu.renderer import chunk_plan, pick_chunk
+
+    chunk, n_chunks, n_padded = chunk_plan(127 * 127, 4096)
+    assert chunk == 4096 and n_chunks == 4 and n_padded == 16384
+    assert pick_chunk(127 * 127, 4096) == 4096
+
+    cfg, rcfg, params, code, c2w = _setup()
+    H = W = 7  # 49 rays: divisors 7, 49 only; chunk 16 -> padded to 64
+    assert chunk_plan(49, 16) == (16, 4, 64)
+    img = render_image(params, cfg, rcfg, H, W, 10.0, c2w, code, code,
+                       key=None, chunk=16, compute_dtype=jnp.float32)
+    ro, vd = camera_rays(H, W, 10.0, c2w)
+    res = render_rays(params, cfg, rcfg, ro, vd, code, code, key=None,
+                      compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(img).reshape(-1, 3),
+                               np.asarray(res.final.rgb), atol=1e-5)

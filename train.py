@@ -51,6 +51,24 @@ def main() -> None:
     args = parser.parse_args()
 
     import os
+    import sys
+
+    # Reference flags accepted for CLI compatibility but with different or
+    # no semantics here — warn loudly when a non-default value is passed so
+    # nobody silently trains with assumptions that don't hold (VERDICT r1 #4).
+    if args.num_instances_per_obj != 2:
+        print(
+            f"WARNING: --num_instances_per_obj={args.num_instances_per_obj} "
+            "is ignored: rays are sampled globally across all objects/views "
+            "each step (reference semantics superseded; see train.py docstring)",
+            file=sys.stderr,
+        )
+    if args.gpu != 0:
+        print(
+            f"WARNING: --gpu={args.gpu} is ignored: device selection is "
+            "JAX's (set JAX_PLATFORMS or the --data_axis/--model_axis mesh)",
+            file=sys.stderr,
+        )
 
     import jax
 
