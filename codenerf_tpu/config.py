@@ -40,6 +40,7 @@ _EXTENSION_KEYS = {
     "seed",
     "use_fused_train",
     "bound_sphere_radius",
+    "reference_quirks",
 }
 
 
@@ -105,6 +106,29 @@ class LrSchedule:
 
 
 @dataclasses.dataclass(frozen=True)
+class ReferenceQuirks:
+    """Opt-in reproductions of the reference's training-dynamics quirks
+    (SURVEY §2.3 #3/#4), for parity debugging against real ShapeNet-SRN runs.
+    Both default OFF — the clean formulation is the framework default.
+
+    - ``optimizer_reset_every``: N > 0 re-initializes the AdamW moments (and
+      bias-correction count) every N steps, with the learning rate frozen at
+      its window-start value — the reference rebuilds its optimizer every
+      epoch during training (``src/trainer.py:52,114-120``) and every
+      ``lr_half_interval`` during code optimization (``src/optimizer.py:104-105``).
+      One reference epoch = n_objects steps at the default batch size.
+    - ``reg_chunk_divisor``: d > 1 scales the code-norm regularizer by 1/d.
+      The reference adds the reg loss on the FIRST of its d serial
+      gradient-accumulation chunks only (``src/trainer.py:76-81``), so the
+      reg gradient is 1/d of the full-image formulation; d = ceil(H*W /
+      batchsize) = 8 for full 128x128 images at the default batchsize 2048.
+    """
+
+    optimizer_reset_every: int = 0
+    reg_chunk_divisor: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
 class DataConfig:
     """Reference ``data`` block (``jsonfiles/srncar.json:10-14``)."""
 
@@ -136,6 +160,7 @@ class Hparams:
     # a tile-divisible ray batch; also yields MORE accurate gradients (f32
     # inter-layer cotangents and f32 dW accumulation).
     use_fused_train: bool = False
+    quirks: ReferenceQuirks = dataclasses.field(default_factory=ReferenceQuirks)
     raw: Optional[Dict[str, Any]] = None
 
     def to_json_dict(self) -> Dict[str, Any]:
@@ -164,6 +189,7 @@ class Hparams:
             "weight_decay": self.weight_decay,
             "seed": self.seed,
             "use_fused_train": self.use_fused_train,
+            "reference_quirks": dataclasses.asdict(self.quirks),
         }
         return d
 
@@ -211,6 +237,7 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
         compute_dtype=str(cfg.get("compute_dtype", "bfloat16")),
         seed=int(cfg.get("seed", 0)),
         use_fused_train=bool(cfg.get("use_fused_train", False)),
+        quirks=ReferenceQuirks(**cfg.get("reference_quirks", {})),
         raw=dict(cfg),
     )
 

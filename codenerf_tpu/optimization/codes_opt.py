@@ -74,8 +74,14 @@ def optimize_codes(
     lr_half_interval: int = 50,
     chunk: int = 4096,
     fine_params=None,
+    reference_resets: bool = False,
 ) -> OptimizationResult:
-    """Optimize one object's codes against flat target rays. Fully jitted."""
+    """Optimize one object's codes against flat target rays. Fully jitted.
+
+    ``reference_resets=True`` reproduces the reference quirk of rebuilding
+    the AdamW optimizer (zeroing its moments) at every lr halving
+    (``src/optimizer.py:104-105``, SURVEY §2.3 #3); the lr curve itself is
+    identical either way since halvings align with the reset windows."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     from codenerf_tpu.renderer import chunk_plan
@@ -121,8 +127,16 @@ def optimize_codes(
     def run(codes0, key):
         opt_state0 = tx.init(codes0)
 
-        def step(carry, step_key):
+        def step(carry, xs):
+            step_idx, step_key = xs
             codes, opt_state = carry
+            if reference_resets:
+                from codenerf_tpu.training.train_step import reset_adam_state
+
+                opt_state = jax.lax.cond(
+                    step_idx % lr_half_interval == 0,
+                    reset_adam_state, lambda s: s, opt_state,
+                )
             (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 codes, step_key
             )
@@ -131,7 +145,10 @@ def optimize_codes(
             return (codes, opt_state), psnr_fn(mse)
 
         keys = jax.random.split(key, num_opts)
-        (codes, _), history = jax.lax.scan(step, (codes0, opt_state0), keys)
+        (codes, _), history = jax.lax.scan(
+            step, (codes0, opt_state0),
+            (jnp.arange(num_opts), keys),
+        )
         return codes, history
 
     (shape_code, texture_code), history = run(
@@ -157,6 +174,7 @@ class CodeOptimizer:
     mean_texture: jnp.ndarray
     fine_params: Optional[Dict] = None
     chunk: int = 4096
+    reference_resets: bool = False
 
     def __post_init__(self):
         self._eval_fn = None
@@ -180,6 +198,7 @@ class CodeOptimizer:
             self.mean_shape, self.mean_texture, key,
             num_opts=num_opts, lr=lr, lr_half_interval=lr_half_interval,
             chunk=self.chunk, fine_params=self.fine_params,
+            reference_resets=self.reference_resets,
         )
 
     def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):

@@ -20,3 +20,18 @@ def step_halving(base_lr: float, interval: int):
         return base_lr * jnp.asarray(2.0, jnp.float32) ** (-halvings)
 
     return schedule
+
+
+def window_frozen_step_halving(base_lr: float, interval: int, window: int):
+    """Step-halving evaluated at the enclosing window's START — the decayed
+    lr stays constant for ``window`` steps at a time. This is the
+    reference's effective schedule under its per-epoch optimizer rebuild
+    (quirk #3): the lr is computed once from the epoch-start ``niter`` and
+    frozen until the next rebuild (``src/trainer.py:52,122-128``)."""
+
+    def schedule(count):
+        window_start = (count // window) * window
+        halvings = jnp.asarray(window_start // interval, jnp.float32)
+        return base_lr * jnp.asarray(2.0, jnp.float32) ** (-halvings)
+
+    return schedule

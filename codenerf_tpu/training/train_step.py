@@ -32,21 +32,58 @@ import optax
 from codenerf_tpu.config import Hparams, resolve_dtype
 from codenerf_tpu.core.rays import pixel_rays
 from codenerf_tpu.renderer import render_rays
-from codenerf_tpu.training.schedules import step_halving
+from codenerf_tpu.training.schedules import (
+    step_halving,
+    window_frozen_step_halving,
+)
 from codenerf_tpu.training.state import TrainState
 
 Batch = Dict[str, jnp.ndarray]
 
 
+def reset_adam_state(opt_state):
+    """Zero every ScaleByAdamState (count, mu, nu) inside an optax state
+    pytree, leaving schedule counts and everything else untouched — the
+    jit-safe equivalent of the reference rebuilding its AdamW from scratch
+    (``src/trainer.py:52``, ``src/optimizer.py:104-105``)."""
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+            return optax.ScaleByAdamState(
+                count=jnp.zeros_like(s.count), mu=zeros(s.mu), nu=zeros(s.nu)
+            )
+        if isinstance(s, tuple) and hasattr(s, "_fields"):  # NamedTuple
+            return type(s)(*(rec(x) for x in s))
+        if isinstance(s, tuple):
+            return tuple(rec(x) for x in s)
+        if isinstance(s, list):
+            return [rec(x) for x in s]
+        if isinstance(s, dict):
+            return {k: rec(v) for k, v in s.items()}
+        return s
+
+    return rec(opt_state)
+
+
 def build_optimizer(hp: Hparams) -> optax.GradientTransformation:
-    """AdamW with per-group step-halving lrs via optax.multi_transform."""
+    """AdamW with per-group step-halving lrs via optax.multi_transform.
+
+    With ``hp.quirks.optimizer_reset_every`` the lr schedules freeze at
+    their window-start values (the moments themselves are reset inside the
+    train step, where the global step is known)."""
     adamw = lambda sched: optax.adamw(
         learning_rate=sched, b1=0.9, b2=0.999, eps=1e-8,
         weight_decay=hp.weight_decay,
     )
+    window = hp.quirks.optimizer_reset_every
+    if window > 0:
+        sched = lambda s: window_frozen_step_halving(s.lr, s.interval, window)
+    else:
+        sched = lambda s: step_halving(s.lr, s.interval)
     transforms = {
-        "model": adamw(step_halving(hp.lr_model.lr, hp.lr_model.interval)),
-        "codes": adamw(step_halving(hp.lr_codes.lr, hp.lr_codes.interval)),
+        "model": adamw(sched(hp.lr_model)),
+        "codes": adamw(sched(hp.lr_codes)),
     }
 
     def label_tree(trainables):
@@ -130,7 +167,9 @@ def build_train_step(
             jnp.linalg.norm(shape_code, axis=-1)
             + jnp.linalg.norm(texture_code, axis=-1)
         )
-        loss = loss + hp.loss_reg_coef * reg
+        # quirks.reg_chunk_divisor > 1 reproduces the reference's
+        # first-chunk-only reg (1/d of the full-image gradient).
+        loss = loss + (hp.loss_reg_coef / hp.quirks.reg_chunk_divisor) * reg
         metrics = {
             "loss": loss,
             "mse": mse,
@@ -157,26 +196,43 @@ def build_train_step(
         mb_grad = jax.checkpoint(grad_fn)
 
         def body(carry, xs):
-            acc, _ = carry
+            acc, m_acc = carry
             mb = {name: xs[i] for i, name in enumerate(sorted(mbs))}
             g, m = mb_grad(trainables, mb, xs[-1])
             acc = jax.tree_util.tree_map(
                 lambda a, b: a + b.astype(jnp.float32), acc, g)
-            return (acc, m), None
+            m_acc = {name: m_acc[name] + m[name] for name in m_acc}
+            return (acc, m_acc), None
 
         zeros = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), trainables)
         xs = tuple(mbs[name] for name in sorted(mbs)) + (keys,)
-        dummy_m = {"loss": jnp.zeros(()), "mse": jnp.zeros(()),
-                   "psnr": jnp.zeros(()), "reg": jnp.zeros(())}
-        (acc, metrics), _ = jax.lax.scan(body, (zeros, dummy_m), xs)
+        zero_m = {"loss": jnp.zeros(()), "mse": jnp.zeros(()),
+                  "psnr": jnp.zeros(()), "reg": jnp.zeros(())}
+        (acc, m_sum), _ = jax.lax.scan(body, (zeros, zero_m), xs)
         grads = jax.tree_util.tree_map(lambda g: g / k, acc)
-        return grads, metrics  # metrics from the last microbatch
+        # Full-batch metrics: mean over microbatches, with psnr recomputed
+        # from the mean mse (a mean of per-microbatch psnrs is biased).
+        metrics = {name: v / k for name, v in m_sum.items()}
+        metrics["psnr"] = -10.0 * jnp.log(metrics["mse"]) / jnp.log(10.0)
+        return grads, metrics
+
+    reset_every = hp.quirks.optimizer_reset_every
 
     def train_step(state: TrainState, batch: Batch):
         rng, key = jax.random.split(state.rng)
         grads, metrics = full_grads(state.trainables, batch, key)
-        updates, opt_state = tx.update(grads, state.opt_state, state.trainables)
+        opt_state_in = state.opt_state
+        if reset_every > 0:
+            # Reference quirk #3: fresh Adam moments at each window start
+            # (the lr freeze half of the quirk lives in build_optimizer).
+            opt_state_in = jax.lax.cond(
+                state.step % reset_every == 0,
+                reset_adam_state,
+                lambda s: s,
+                state.opt_state,
+            )
+        updates, opt_state = tx.update(grads, opt_state_in, state.trainables)
         trainables = optax.apply_updates(state.trainables, updates)
         new_state = state.replace(
             step=state.step + 1,
