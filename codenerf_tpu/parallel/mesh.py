@@ -28,21 +28,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(devices: Optional[Sequence] = None, data: int = -1,
-              model: int = 1) -> Mesh:
-    """Build a (data, model) mesh. ``data=-1`` uses all remaining devices."""
+              model: int = 1, replica: int = 1) -> Mesh:
+    """Build a (data, model) mesh, or a 3-axis (replica, data, model) mesh
+    when ``replica > 1``. ``data=-1`` uses all remaining devices.
+
+    ``replica`` is the multi-slice axis: device order from ``jax.devices()``
+    groups a slice's chips contiguously, so the leading mesh axis maps
+    across slices — gradient all-reduce over 'replica' rides DCN while
+    'data'/'model' collectives stay on ICI (the reference has no
+    distribution at all; SURVEY §5.8)."""
     devices = list(jax.devices()) if devices is None else list(devices)
     n = len(devices)
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"data*model={data * model} != device count {n}")
+        if n % (model * replica) != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*replica={model * replica}")
+        data = n // (model * replica)
+    if data * model * replica != n:
+        raise ValueError(
+            f"replica*data*model={replica * data * model} != device count {n}")
+    if replica > 1:
+        return Mesh(np.asarray(devices).reshape(replica, data, model),
+                    ("replica", "data", "model"))
     return Mesh(np.asarray(devices).reshape(data, model), ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (ray) axis across 'data'; trailing dims replicated."""
+    """Shard the leading (ray) axis across 'data' (and 'replica' when the
+    mesh has one — pure DP across slices); trailing dims replicated. The
+    mean loss over sharded rays against replicated parameters makes XLA
+    insert the gradient psum over both axes automatically."""
+    if "replica" in mesh.axis_names:
+        return NamedSharding(mesh, P(("replica", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -40,6 +40,9 @@ def main() -> None:
     parser.add_argument("--exps_root", type=str, default="exps")
     parser.add_argument("--data_axis", type=int, default=-1)
     parser.add_argument("--model_axis", type=int, default=1)
+    parser.add_argument("--replica_axis", type=int, default=1,
+                        help="multi-slice axis: gradients all-reduce over "
+                             "it across slices (DCN); 1 = single slice")
     parser.add_argument("--resume", type=str2bool, default=True)
     parser.add_argument("--tensorboard", type=str2bool, default=False)
     parser.add_argument("--max_objects", type=int, default=None)
@@ -84,8 +87,9 @@ def main() -> None:
 
     hp = load_hparams(args.jsonfile)
     mesh = None
-    if len(jax.devices()) > 1 or args.model_axis > 1:
-        mesh = make_mesh(data=args.data_axis, model=args.model_axis)
+    if len(jax.devices()) > 1 or args.model_axis > 1 or args.replica_axis > 1:
+        mesh = make_mesh(data=args.data_axis, model=args.model_axis,
+                         replica=args.replica_axis)
 
     trainer = Trainer(
         args.save_dir,
