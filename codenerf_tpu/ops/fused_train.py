@@ -38,9 +38,10 @@ from codenerf_tpu.ops import fused_mlp
 # Backward tiles are smaller than forward ones: the kernel holds the saved
 # layer outputs plus the f32 dW accumulators in VMEM (matmul INPUTS x_j are
 # recomputed from y_{j-1} + proj in the backward sweep rather than stored).
-# 16-ray tiles overflow the 16 MB scoped VMEM limit by ~1.2 MB (measured);
-# 8-ray tiles leave headroom.
-_TILE_RAYS = 8
+# With f32 weight inputs + bf16 scratch caches, 16-ray tiles overflowed the
+# 16 MB scoped VMEM limit by ~1.2 MB; passing the 2-D weights as bf16
+# INPUTS (cast once in XLA) frees ~2.6 MB and 16-ray tiles fit.
+_TILE_RAYS = 16
 
 
 def fused_train_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
@@ -112,11 +113,11 @@ def flatten_params_f32(params, cfg: NetConfig) -> List[jnp.ndarray]:
 
 def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     """Backward kernel body. Ref order:
-      in:      pe, sproj, tproj, vcontrib, g, (w_i, b_i)*
+      in:      pe, sproj, tproj, vcontrib, g, (w_i, b_i)* — 2-D weights are
+               bf16 (cast once in XLA), 1-D weights and biases f32
       out:     d_pe, d_sproj, d_tproj, d_vcontrib, (dw_i, db_i)*  — the
                (dw, db) blocks have constant index maps and act as VMEM
                accumulators across the grid
-      scratch: wbf_i (bf16 caches of the 2-D weights; dummy for 1-D)
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -134,21 +135,17 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     w_refs = refs[5:5 + 2 * k]
     d_pe_ref, d_sproj_ref, d_tproj_ref, d_vcontrib_ref = refs[5 + 2 * k:9 + 2 * k]
     dwb_refs = refs[9 + 2 * k:9 + 4 * k]
-    wbf = refs[9 + 4 * k:9 + 5 * k]
 
     i = pl.program_id(0)
-    n_steps = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _init():
         for j, (name, wshape, bshape) in enumerate(names):
-            if len(wshape) == 2:
-                wbf[j][...] = w_refs[2 * j][...].astype(bf16)
             dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
             dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
 
     def w(name):
-        return wbf[idx_of[name]][...]
+        return w_refs[2 * idx_of[name]][...]
 
     def b(name):
         return w_refs[2 * idx_of[name] + 1][...]
@@ -267,6 +264,11 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
     n_tiles = R // T
     f32, bf16 = jnp.float32, jnp.bfloat16
 
+    # 2-D weights enter the kernel bf16 (matmul operands; cast once here in
+    # XLA); 1-D weights (sigma row) and biases stay f32. This halves the
+    # VMEM-resident weight bytes vs f32 inputs + in-kernel bf16 caches.
+    wops = [x.astype(bf16) if x.ndim == 2 else x for x in wflat]
+
     def tile_spec(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
@@ -280,7 +282,7 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
         tile_spec((P, 8), lambda i: (i, 0)),
-    ] + [const_spec(x.shape) for x in wflat]
+    ] + [const_spec(x.shape) for x in wops]
 
     out_shape = [
         jax.ShapeDtypeStruct((R * S, 64), bf16),                    # d_pe
@@ -299,12 +301,6 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
                       jax.ShapeDtypeStruct(bshape, f32)]
         out_specs += [const_spec(wshape), const_spec(bshape)]
 
-    scratch_shapes = []
-    for name, wshape, bshape in names:
-        scratch_shapes.append(
-            pltpu.VMEM(wshape if len(wshape) == 2 else (8, 128), bf16)
-        )
-
     # FLOPs: ~3x the forward (recompute + dx + dW chains).
     flops_per_tile = 3 * 2 * P * W * (
         64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
@@ -315,13 +311,12 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_tile * n_tiles,
             bytes_accessed=R * S * (64 * 2 + 8 * 4 + 64 * 2),
             transcendentals=R * S,
         ),
-    )(pe, sproj, tproj, vcontrib, g_packed, *wflat)
+    )(pe, sproj, tproj, vcontrib, g_packed, *wops)
     return outs
 
 
