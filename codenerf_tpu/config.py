@@ -93,6 +93,10 @@ class RenderConfig:
     # sample budget concentrates on the object instead of empty space.
     # Absent from the reference (one global slab only).
     bound_sphere_radius: Optional[float] = None
+    # Probes per ray for occupancy-grid interval tightening
+    # (core/occupancy.py), used when an OccupancyGrid is passed to the
+    # renderer.
+    occ_probes: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

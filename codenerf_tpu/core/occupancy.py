@@ -1,0 +1,163 @@
+"""Occupancy-grid empty-space skipping, with static shapes.
+
+The reference samples one global [near, far] slab per ray
+(``src/utils.py:21-32``); the bounding-sphere bounds (core/rays.py) already
+tighten that to the object's silhouette. This module goes further: a coarse
+per-object binary occupancy grid lets each ray concentrate its FIXED sample
+budget on the segment of the ray that actually intersects density — the
+NerfAcc idea (arXiv 2210.04847), recast for XLA: instead of variable
+per-ray sample counts (dynamic shapes, host round-trips), every ray keeps
+``n_samples`` samples but its [t0, t1] interval shrinks to the occupied
+span, so a 16–32 sample budget matches the quality of 96 unbounded samples.
+
+Design:
+- ``build_occupancy_grid`` evaluates the model's sigma at the G^3 cell
+  centers of the axis-aligned box [-radius, radius]^3. Sigma is
+  viewdir-independent in CodeNeRF (the sigma head branches off BEFORE the
+  viewdir injection — ``src/model.py:44-45``), so one evaluation per cell
+  is exact, not an approximation. The binary grid is dilated by one cell
+  (3^3 max-pool) so surfaces on cell boundaries are never clipped.
+- ``ray_grid_bounds`` probes M equidistant points per ray inside the
+  incoming [t0, t1] (from ``ray_sphere_bounds`` or the global slab),
+  gathers cell occupancy, and tightens to [first occupied, last occupied]
+  probe with one probe-spacing of slack on each side. Rays with no
+  occupied probe degenerate to [t0, t0 + eps] — same convention as sphere
+  misses — and composite to background.
+
+Everything is shape-static: (R, M) gathers, argmax interval extraction, no
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccupancyGrid(NamedTuple):
+    """A binary occupancy field over the box [-radius, radius]^3.
+
+    ``occ`` is (G, G, G) bool (a pytree leaf — jit/donate-friendly);
+    ``radius`` is a scalar (python float or 0-d array)."""
+
+    occ: jnp.ndarray
+    radius: jnp.ndarray
+
+
+def grid_cell_centers(G: int, radius: float) -> jnp.ndarray:
+    """(G^3, 3) cell-center coordinates, C-order (x-major last)."""
+    edges = jnp.linspace(-radius, radius, G + 1, dtype=jnp.float32)
+    c = 0.5 * (edges[:-1] + edges[1:])
+    c0, c1, c2 = jnp.meshgrid(c, c, c, indexing="ij")
+    # world component k maps to grid axis k (occupancy_at uses the same
+    # convention)
+    return jnp.stack([c0, c1, c2], axis=-1).reshape(-1, 3)
+
+
+def dilate_grid(occ: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
+    """Binary dilation by a 3^3 neighborhood (max-pool, stride 1, SAME)."""
+    x = occ.astype(jnp.float32)
+    for _ in range(iterations):
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=(3, 3, 3),
+            window_strides=(1, 1, 1),
+            padding="SAME",
+        )
+    return x > 0.0
+
+
+def build_occupancy_grid(
+    params,
+    net_cfg,
+    shape_code: jnp.ndarray,
+    texture_code: jnp.ndarray,
+    G: int = 64,
+    radius: float = 1.0,
+    sigma_threshold: float = 0.01,
+    dilate: int = 1,
+    compute_dtype=jnp.bfloat16,
+    mask_radius: Optional[float] = None,
+) -> OccupancyGrid:
+    """Evaluate sigma at all G^3 cell centers and threshold.
+
+    ``sigma_threshold`` is in raw softplus-sigma units: a cell whose
+    density contributes alpha < 1 - exp(-sigma * delta) ~ sigma * delta is
+    dropped when sigma is below the threshold (at SRN scales delta ~ 1e-2,
+    so 0.01 keeps everything with alpha contribution above ~1e-4).
+
+    ``mask_radius`` zeroes cells outside an origin-centered sphere. Regions
+    NO training ray ever traversed have arbitrary (often large) density —
+    the model was never supervised there — and would otherwise read as
+    occupied; the renderer composes the grid with the same bounding sphere
+    (``RenderConfig.bound_sphere_radius``), so masking to it loses nothing.
+    """
+    from codenerf_tpu.models.codenerf import apply_codenerf
+
+    centers = grid_cell_centers(G, radius)              # (G^3, 3)
+    xyz = centers.reshape(G * G, G, 3)                  # rays=G^2, samples=G
+    viewdir = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (G * G, 3)
+    )  # sigma ignores viewdir (head precedes the viewdir injection)
+    sigmas, _ = apply_codenerf(
+        params, net_cfg, xyz, viewdir, shape_code, texture_code,
+        compute_dtype=compute_dtype,
+    )
+    occ = (sigmas.reshape(G, G, G) >= sigma_threshold)
+    if mask_radius is not None:
+        r = jnp.linalg.norm(centers, axis=-1).reshape(G, G, G)
+        occ = occ & (r <= mask_radius)
+    if dilate > 0:
+        occ = dilate_grid(occ, dilate)
+    return OccupancyGrid(occ=occ, radius=jnp.asarray(radius, jnp.float32))
+
+
+def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy lookup at world points ``pts`` (..., 3). Points outside
+    the box are unoccupied. Returns bool (...,)."""
+    G = grid.occ.shape[0]
+    radius = grid.radius
+    # world -> cell index per axis, same (z, y, x) order as the centers
+    u = (pts + radius) / (2.0 * radius) * G
+    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, G - 1)
+    inside = jnp.all((pts >= -radius) & (pts <= radius), axis=-1)
+    flat = (idx[..., 0] * G + idx[..., 1]) * G + idx[..., 2]
+    vals = jnp.take(grid.occ.reshape(-1), flat.reshape(-1))
+    return vals.reshape(flat.shape) & inside
+
+
+def ray_grid_bounds(
+    grid: OccupancyGrid,
+    ray_o: jnp.ndarray,       # (R, 3)
+    viewdir: jnp.ndarray,     # (R, 3)
+    t0: jnp.ndarray,          # (R,) incoming near bounds
+    t1: jnp.ndarray,          # (R,) incoming far bounds
+    n_probes: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tighten per-ray [t0, t1] to the occupied span along each ray.
+
+    Probes ``n_probes`` equidistant ts in [t0, t1]; the returned interval
+    is [first occupied probe - h, last occupied probe + h] (h = probe
+    spacing), clipped to the incoming interval. Rays with no occupied
+    probe return the degenerate [t0, t0 + eps] (composites to background,
+    batch shape unchanged)."""
+    R = ray_o.shape[0]
+    M = n_probes
+    frac = jnp.linspace(0.0, 1.0, M, dtype=jnp.float32)
+    ts = t0[:, None] + frac[None, :] * (t1 - t0)[:, None]      # (R, M)
+    pts = ray_o[:, None, :] + viewdir[:, None, :] * ts[..., None]
+    occ = occupancy_at(grid, pts)                               # (R, M) bool
+    hit = jnp.any(occ, axis=-1)
+    first = jnp.argmax(occ, axis=-1)                            # first True
+    last = (M - 1) - jnp.argmax(occ[:, ::-1], axis=-1)          # last True
+    h = (t1 - t0) / jnp.maximum(M - 1.0, 1.0)
+    t_lo = jnp.take_along_axis(ts, first[:, None], axis=1)[:, 0] - h
+    t_hi = jnp.take_along_axis(ts, last[:, None], axis=1)[:, 0] + h
+    t_lo = jnp.clip(t_lo, t0, t1)
+    t_hi = jnp.clip(t_hi, t0, t1)
+    eps = 1e-3 * jnp.maximum(jnp.max(t1 - t0), 1e-6)
+    new_t0 = jnp.where(hit, t_lo, t0)
+    new_t1 = jnp.where(hit, jnp.maximum(t_hi, t_lo + eps), t0 + eps)
+    return new_t0, new_t1

@@ -92,6 +92,7 @@ def render_rays(
     fine_params=None,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     apply_fn=None,
+    occ_grid=None,
 ) -> RenderResult:
     """Render a batch of rays.
 
@@ -106,16 +107,30 @@ def render_rays(
            ``fn(params, cfg, xyz, viewdir, s_code, t_code) -> (sigmas, rgbs)``
            — used to swap in the fused Pallas kernels; defaults to the XLA
            ``apply_codenerf``.
+      occ_grid: optional :class:`core.occupancy.OccupancyGrid` — per-ray
+           [t0, t1] tightens to the occupied span (empty-space skipping
+           beyond the bounding sphere; ``rcfg.occ_probes`` probes/ray).
     """
     R = ray_o.shape[0]
     deterministic = key is None
     # Per-ray bounds: tighten [near, far] to the object's bounding sphere so
     # the fixed sample budget lands on the object (shared_jitter is by
     # definition one global slab, so bounds are skipped in that quirk mode).
-    use_bounds = rcfg.bound_sphere_radius is not None and not rcfg.shared_jitter
+    use_bounds = (
+        rcfg.bound_sphere_radius is not None or occ_grid is not None
+    ) and not rcfg.shared_jitter
     if use_bounds:
-        t0, t1 = ray_sphere_bounds(ray_o, viewdir, rcfg.near, rcfg.far,
-                                   rcfg.bound_sphere_radius)
+        if rcfg.bound_sphere_radius is not None:
+            t0, t1 = ray_sphere_bounds(ray_o, viewdir, rcfg.near, rcfg.far,
+                                       rcfg.bound_sphere_radius)
+        else:
+            t0 = jnp.full((R,), rcfg.near, jnp.float32)
+            t1 = jnp.full((R,), rcfg.far, jnp.float32)
+        if occ_grid is not None:
+            from codenerf_tpu.core.occupancy import ray_grid_bounds
+
+            t0, t1 = ray_grid_bounds(occ_grid, ray_o, viewdir, t0, t1,
+                                     n_probes=rcfg.occ_probes)
     if deterministic:
         if use_bounds:
             t = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=jnp.float32)
@@ -183,6 +198,7 @@ def render_image(
     chunk: int = 4096,
     fine_params=None,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    occ_grid=None,
 ) -> jnp.ndarray:
     """Render a full H×W image; returns (H, W, 3) float32.
 
@@ -206,6 +222,7 @@ def render_image(
             params, net_cfg, rcfg, ro_c, vd_c, shape_code, texture_code,
             key=None if key is None else k,
             fine_params=fine_params, compute_dtype=compute_dtype,
+            occ_grid=occ_grid,
         )
         return res.final.rgb
 
