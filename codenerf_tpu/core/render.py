@@ -40,14 +40,22 @@ def composite(
     Args:
       sigmas: (R, S) or (R, S, 1) nonnegative densities.
       rgbs:   (R, S, 3) colors (raw linear — the reference has no sigmoid,
-              ``src/model.py:34``).
+              ``src/model.py:34``), OR a tuple of three (R, S) channel
+              planes. The plane form is the TPU-native layout: an (R, S, 3)
+              array puts 3 values on the 128-lane axis (42x padding); the
+              fused training kernels emit planes so compositing never
+              touches a lanes-3 array.
       z_vals: (S,) shared or (R, S) per-ray depth samples, ascending.
       white_bg: add (1 - acc) to every channel (``src/utils.py:44-46``).
     """
-    if sigmas.ndim == rgbs.ndim:  # (R, S, 1) -> (R, S)
+    planes = isinstance(rgbs, (tuple, list))
+    if not planes and sigmas.ndim == rgbs.ndim:  # (R, S, 1) -> (R, S)
         sigmas = sigmas[..., 0]
     sigmas = sigmas.astype(jnp.float32)
-    rgbs = rgbs.astype(jnp.float32)
+    if planes:
+        rgbs = tuple(p.astype(jnp.float32) for p in rgbs)
+    else:
+        rgbs = rgbs.astype(jnp.float32)
     z_vals = jnp.broadcast_to(z_vals.astype(jnp.float32), sigmas.shape)
 
     deltas = z_vals[..., 1:] - z_vals[..., :-1]
@@ -62,7 +70,12 @@ def composite(
     accum_trans = jnp.cumprod(trans, axis=-1)[..., :-1]
     weights = alphas * accum_trans
 
-    rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
+    if planes:
+        rgb = jnp.stack(
+            [jnp.sum(weights * p, axis=-1) for p in rgbs], axis=-1
+        )
+    else:
+        rgb = jnp.sum(weights[..., None] * rgbs, axis=-2)
     depth = jnp.sum(weights * z_vals, axis=-1)
     acc = jnp.sum(weights, axis=-1)
     if white_bg:

@@ -68,19 +68,77 @@ def _pad_lanes(x: jnp.ndarray, to: int) -> jnp.ndarray:
     )
 
 
+def _pe_consts(num_freqs: int):
+    """Constants for IN-KERNEL positional encoding of 3-D points into 64
+    lanes: ``t = xyz8 @ A`` (frequency scaling, channel order of
+    ``core.encoding.positional_encoding`` = the reference ``src/model.py:4-7``:
+    [x | sin block, frequency-major | cos block]), then
+    ``pe = m_id*t + m_sin*sin(t) + m_cos*cos(t)`` — padding lanes all-zero.
+
+    Why in-kernel: materializing PE in HBM for the kernels costs ~14 ms at
+    16K rays x 96 samples (measured — (R*S, 63) f32 round-trips dominate);
+    recomputed per-tile it is ~200M VPU transcendentals, well under 1 ms.
+    """
+    import numpy as np
+
+    F = num_freqs
+    A = np.zeros((8, 64), np.float32)
+    m_id = np.zeros((64,), np.float32)
+    m_sin = np.zeros((64,), np.float32)
+    m_cos = np.zeros((64,), np.float32)
+    for c in range(3 + 6 * F):
+        if c < 3:
+            A[c, c] = 1.0
+            m_id[c] = 1.0
+        elif c < 3 + 3 * F:
+            i, d = divmod(c - 3, 3)
+            A[d, c] = 2.0 ** i
+            m_sin[c] = 1.0
+        else:
+            i, d = divmod(c - 3 - 3 * F, 3)
+            A[d, c] = 2.0 ** i
+            m_cos[c] = 1.0
+    return A, m_id, m_sin, m_cos
+
+
+def pe_const_operands(num_freqs: int):
+    """The four PE constant arrays as jnp operands (Pallas kernels cannot
+    capture array constants — they enter as tiny VMEM inputs)."""
+    return [jnp.asarray(x) for x in _pe_consts(num_freqs)]
+
+
+def _pe_in_kernel(xyz8, A, m_id, m_sin, m_cos):
+    """(P, 8) f32 -> ((P, 64) f32 pe, (P, 64) f32 t). ``t`` is returned for
+    the backward pass (dpe/dt needs sin/cos of the same arguments)."""
+    t = jax.lax.dot_general(
+        xyz8, A, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pe = m_id * t + m_sin * jnp.sin(t) + m_cos * jnp.cos(t)
+    return pe, t
+
+
 def _kernel(cfg: NetConfig, S: int,
-            pe_ref, sproj_ref, tproj_ref, vcontrib_ref,
+            ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
+            peA_ref, peid_ref, pesin_ref, pecos_ref,
             *refs):
-    """One grid step = one 64-ray tile (P = 64*S points).
+    """One grid step = one TILE-ray tile (P = TILE*S points).
+
+    The ray->sample expansion (xyz = ro + vd*z) and the positional
+    encoding both run in-kernel: every input and output keeps the
+    (rays, samples)-shaped layout that the rest of the step uses, so no
+    (R*S, small)-shaped tensor is ever materialized in HBM (those
+    relayouts measured ~20 ms/step at flagship sizes).
 
     refs layout: [w_enc, b_enc, (w_shape_j, b_shape_j)*, w_encs, b_encs,
                   w_sig, b_sig, w_encv, b_encv, (w_tex_j, b_tex_j)*,
-                  w_rgbh, b_rgbh, w_rgbo, b_rgbo, out_ref]
+                  w_rgbh, b_rgbh, w_rgbo, b_rgbo,
+                  sig_out, r_out, g_out, b_out]   # (T, S) f32 each
     """
     import jax.nn as jnn
 
-    out_ref = refs[-1]
-    it = iter(refs[:-1])
+    sig_out, r_out, g_out, b_out = refs[-4:]
+    it = iter(refs[:-4])
     nxt = lambda: next(it)[...]
 
     P = _TILE_RAYS * S
@@ -98,7 +156,13 @@ def _kernel(cfg: NetConfig, S: int,
         yr = y.reshape(_TILE_RAYS, S, cfg.W)
         return (yr + z_tile[:, None, :]).reshape(P, cfg.W)
 
-    pe = pe_ref[...]  # (P, 64) bf16, zero-padded from d_xyz
+    ro = ro_ref[...]      # (T, 8) f32, zero-padded origins
+    vd = vd_ref[...]      # (T, 8) f32, zero-padded unit directions
+    z = z_ref[...]        # (T, S) f32 depth samples
+    xyz8 = (ro[:, None, :] + vd[:, None, :] * z[:, :, None]).reshape(P, 8)
+    pe_f32, _ = _pe_in_kernel(xyz8, peA_ref[...], peid_ref[...],
+                              pesin_ref[...], pecos_ref[...])
+    pe = pe_f32.astype(bf16)  # (P, 64)
     sproj = sproj_ref[...]
     tproj = tproj_ref[...]
     vcontrib = vcontrib_ref[...]
@@ -112,9 +176,8 @@ def _kernel(cfg: NetConfig, S: int,
     y = (dot(y, w) + b).astype(bf16)  # enc_shape, no activation
     w_sig, b_sig = nxt(), nxt()       # (W,) row vector, (1,)
     sigma = jnn.softplus(
-        jnp.sum(y.astype(f32) * w_sig[None, :], axis=-1, keepdims=True)
-        + b_sig
-    )  # (P, 1) f32
+        jnp.sum(y.astype(f32) * w_sig[None, :], axis=-1) + b_sig[0]
+    )  # (P,) f32
 
     w, b = nxt(), nxt()  # enc_viewdir point-part (W, W)
     y = dot(y, w) + b
@@ -130,24 +193,31 @@ def _kernel(cfg: NetConfig, S: int,
     w_rgb, b_rgb = nxt(), nxt()               # (W/2, 8), (8,) zero-padded
     rgb = dot(y, w_rgb) + b_rgb               # (P, 8) f32
 
-    out = jnp.concatenate([sigma, rgb[:, :7]], axis=-1)  # (P, 8)
-    out_ref[...] = out
+    T = _TILE_RAYS
+    sig_out[...] = sigma.reshape(T, S)
+    rgb3 = rgb.reshape(T, S, 8)
+    r_out[...] = rgb3[:, :, 0]
+    g_out[...] = rgb3[:, :, 1]
+    b_out[...] = rgb3[:, :, 2]
 
 
 def fused_codenerf_apply(
     params,
     cfg: NetConfig,
-    xyz: jnp.ndarray,        # (R, S, 3)
+    ray_o: jnp.ndarray,      # (R, 3)
     viewdir: jnp.ndarray,    # (R, 3)
+    z_vals: jnp.ndarray,     # (R, S) depth samples
     shape_code: jnp.ndarray,    # (R, D) or (D,)
     texture_code: jnp.ndarray,  # (R, D) or (D,)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in replacement for ``apply_codenerf`` (bfloat16 compute,
-    forward-only). Returns (sigmas (R, S) f32, rgbs (R, S, 3) f32)."""
+) -> Tuple[jnp.ndarray, tuple]:
+    """Ray-native fused forward (bfloat16 compute, forward-only): takes
+    rays + depth samples directly (xyz expansion and PE in-kernel).
+    Returns (sigmas (R, S) f32, (r, g, b) planes each (R, S) f32) — the
+    plane form composites without any lanes-3 array (core/render.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R, S = xyz.shape[0], xyz.shape[1]
+    R, S = z_vals.shape[0], z_vals.shape[1]
     if not fused_available(cfg, R, S):
         raise ValueError(
             f"fused kernel unsupported for W={cfg.W}, R={R}, S={S}"
@@ -158,9 +228,11 @@ def fused_codenerf_apply(
     if texture_code.ndim == 1:
         texture_code = jnp.broadcast_to(texture_code, (R, texture_code.shape[-1]))
 
-    # ---- host-side (XLA) precomputation, all O(R) or O(R*S*64)
-    pe = positional_encoding(xyz, cfg.num_xyz_freq)          # (R, S, 63) f32
-    pe = _pad_lanes(pe.reshape(R * S, cfg.d_xyz), 64).astype(bf16)
+    # ---- host-side (XLA) precomputation, all O(R). Everything per-POINT
+    # (xyz expansion, PE) runs in-kernel; only tiny per-ray work stays here.
+    ro8 = _pad_lanes(ray_o.astype(jnp.float32), 8)
+    vd8 = _pad_lanes(viewdir.astype(jnp.float32), 8)
+    z_vals = z_vals.astype(jnp.float32)
     vd_pe = positional_encoding(viewdir, cfg.num_dir_freq)   # (R, 27)
 
     def ray_proj(prefix, code, blocks):
@@ -218,40 +290,50 @@ def fused_codenerf_apply(
     add("rgb_hidden")
     add("rgb_out", pad_out=8)
 
-    out = invoke_fwd(cfg, S, R, pe, sproj, tproj, vcontrib, wb)
-    sigmas = out[:, 0].reshape(R, S)
-    rgbs = out[:, 1:4].reshape(R, S, 3)
-    return sigmas, rgbs
+    sigmas, r, g, b = invoke_fwd(cfg, S, R, ro8, vd8, z_vals, sproj, tproj,
+                                 vcontrib, wb)
+    return sigmas, (r, g, b)
 
 
-def invoke_fwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
-               wb) -> jnp.ndarray:
-    """Run the forward kernel on prepared operands. Returns (R*S, 8) f32
-    packed [sigma | rgb | pad]. Shared with ops/fused_train.py."""
+def invoke_fwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
+               vcontrib, wb):
+    """Run the forward kernel on prepared operands (ro8/vd8: (R, 8) f32
+    zero-padded ray origins/directions, z: (R, S) f32 depths; xyz expansion
+    and PE happen in-kernel). Returns (sigma, r, g, b) planes, each (R, S)
+    f32. Shared with ops/fused_train.py."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    P = _TILE_RAYS * S
-    n_tiles = R // _TILE_RAYS
+    T = _TILE_RAYS
+    n_tiles = R // T
     grid = (n_tiles,)
 
     def tile_spec(block, index_map):
         return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
 
+    pe_ops = pe_const_operands(cfg.num_xyz_freq)
     in_specs = [
-        tile_spec((P, 64), lambda i: (i, 0)),                       # pe
-        tile_spec((_TILE_RAYS, cfg.shape_blocks, cfg.W),
+        tile_spec((T, 8), lambda i: (i, 0)),                        # ro8
+        tile_spec((T, 8), lambda i: (i, 0)),                        # vd8
+        tile_spec((T, S), lambda i: (i, 0)),                        # z
+        tile_spec((T, cfg.shape_blocks, cfg.W),
                   lambda i: (i, 0, 0)),                             # sproj
-        tile_spec((_TILE_RAYS, cfg.texture_blocks, cfg.W),
+        tile_spec((T, cfg.texture_blocks, cfg.W),
                   lambda i: (i, 0, 0)),                             # tproj
-        tile_spec((_TILE_RAYS, cfg.W), lambda i: (i, 0)),           # vcontrib
+        tile_spec((T, cfg.W), lambda i: (i, 0)),                    # vcontrib
+    ] + [
+        pl.BlockSpec(c.shape, (lambda nd: lambda i: (0,) * nd)(c.ndim),
+                     memory_space=pltpu.VMEM)
+        for c in pe_ops
     ] + [
         pl.BlockSpec(w.shape, (lambda nd: lambda i: (0,) * nd)(w.ndim),
                      memory_space=pltpu.VMEM)
         for w in wb
     ]
-    out_spec = tile_spec((P, 8), lambda i: (i, 0))
+    out_specs = [tile_spec((T, S), lambda i: (i, 0))] * 4
+    out_shape = [jax.ShapeDtypeStruct((R, S), jnp.float32)] * 4
 
+    P = T * S
     flops_per_tile = 2 * P * cfg.W * (
         64 + cfg.W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks)
         + cfg.W // 2
@@ -260,11 +342,11 @@ def invoke_fwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
         functools.partial(_kernel, cfg, S),
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((R * S, 8), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_tile * n_tiles,
-            bytes_accessed=(R * S * (64 * 2 + 8 * 4)),
-            transcendentals=R * S,
+            bytes_accessed=(R * S * 5 * 4),
+            transcendentals=R * S * (1 + 2 * cfg.num_xyz_freq) * 3,
         ),
-    )(pe, sproj, tproj, vcontrib, *wb)
+    )(ro8, vd8, z, sproj, tproj, vcontrib, *pe_ops, *wb)

@@ -10,13 +10,17 @@ output blocks that stay VMEM-resident across the whole grid (constant
 index_map). Per-tile HBM traffic collapses to the inputs, the cotangent,
 and the per-ray gradient outputs.
 
-Boundary: ``op(pe, sproj, tproj, vcontrib, *wflat) -> (R·S, 8)`` packed
-[sigma | rgb | pad]. Everything upstream (positional encoding, per-ray code
-projections, the enc_viewdir weight split — see ops/fused_mlp.py) is plain
-differentiable XLA, so outer autodiff chains gradients onward to
+Boundary: ``op(xyz8, sproj, tproj, vcontrib, *wflat) -> (R·S, 8)`` packed
+[sigma | rgb | pad], with xyz8 the (R·S, 8) f32 zero-padded points — the
+xyz positional encoding happens IN-KERNEL, forward and backward
+(materializing it in HBM cost ~14 ms/step at flagship sizes, measured).
+Everything else upstream (per-ray code projections, viewdir PE, the
+enc_viewdir weight split — see ops/fused_mlp.py) is plain differentiable
+XLA, so outer autodiff chains gradients onward to
 xyz/viewdirs/codes/latent-weights; the op returns cotangents only for its
-direct operands. Weight operands are f32 (their grads accumulate and return
-f32); bf16 copies are cached in VMEM scratch on the first grid step.
+direct operands. Weight operands are f32 at the op boundary (their grads
+accumulate and return f32); the 2-D weights are cast to bf16 once in XLA
+before entering the kernel.
 
 Gradient semantics match ``jax.grad`` of ``apply_codenerf`` to bf16
 rounding (tests/test_fused_train.py). Reference architecture:
@@ -40,8 +44,10 @@ from codenerf_tpu.ops import fused_mlp
 # recomputed from y_{j-1} + proj in the backward sweep rather than stored).
 # With f32 weight inputs + bf16 scratch caches, 16-ray tiles overflowed the
 # 16 MB scoped VMEM limit by ~1.2 MB; passing the 2-D weights as bf16
-# INPUTS (cast once in XLA) frees ~2.6 MB and 16-ray tiles fit.
+# INPUTS (cast once in XLA) plus raising the per-kernel scoped-vmem
+# guardrail (see _invoke_bwd) lets larger tiles compile.
 _TILE_RAYS = 16
+_BWD_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def fused_train_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
@@ -113,11 +119,18 @@ def flatten_params_f32(params, cfg: NetConfig) -> List[jnp.ndarray]:
 
 def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     """Backward kernel body. Ref order:
-      in:      pe, sproj, tproj, vcontrib, g, (w_i, b_i)* — 2-D weights are
-               bf16 (cast once in XLA), 1-D weights and biases f32
-      out:     d_pe, d_sproj, d_tproj, d_vcontrib, (dw_i, db_i)*  — the
-               (dw, db) blocks have constant index maps and act as VMEM
-               accumulators across the grid
+      in:      ro8 (T,8), vd8 (T,8), z (T,S), sproj, tproj, vcontrib,
+               gsig, gr, gg, gb (T,S cotangent planes),
+               peA, m_id, m_sin, m_cos, (w_i, b_i)* — 2-D weights are bf16
+               (cast once in XLA), 1-D weights and biases f32
+      out:     d_ro8 (T,8), d_vd8 (T,8), d_z (T,S), d_sproj, d_tproj,
+               d_vcontrib, (dw_i, db_i)* — the (dw, db) blocks have
+               constant index maps and act as VMEM accumulators across the
+               grid. The xyz expansion AND the positional encoding run
+               in-kernel both ways (xyz = ro + vd*z, pe = f(xyz) in the
+               recompute; d_xyz = J_pe^T d_pe then d_ro/d_vd/d_z at the
+               end, exact, f32) — nothing (R*S, small)-shaped ever touches
+               HBM.
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -131,10 +144,13 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     k = len(names)
     idx_of = {n: j for j, (n, _, _) in enumerate(names)}
 
-    pe_ref, sproj_ref, tproj_ref, vcontrib_ref, g_ref = refs[:5]
-    w_refs = refs[5:5 + 2 * k]
-    d_pe_ref, d_sproj_ref, d_tproj_ref, d_vcontrib_ref = refs[5 + 2 * k:9 + 2 * k]
-    dwb_refs = refs[9 + 2 * k:9 + 4 * k]
+    (ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
+     gsig_ref, gr_ref, gg_ref, gb_ref) = refs[:10]
+    peA_ref, peid_ref, pesin_ref, pecos_ref = refs[10:14]
+    w_refs = refs[14:14 + 2 * k]
+    (d_ro_ref, d_vd_ref, d_z_ref, d_sproj_ref, d_tproj_ref,
+     d_vcontrib_ref) = refs[14 + 2 * k:20 + 2 * k]
+    dwb_refs = refs[20 + 2 * k:20 + 4 * k]
 
     i = pl.program_id(0)
 
@@ -170,7 +186,14 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
                 ).reshape(P, W)
 
     # ---------------- forward recompute (activations stay in VMEM)
-    pe = pe_ref[...]
+    ro8 = ro_ref[...]                                     # (T, 8) f32
+    vd8 = vd_ref[...]                                     # (T, 8) f32
+    z = z_ref[...]                                        # (T, S) f32
+    xyz8 = (ro8[:, None, :] + vd8[:, None, :] * z[:, :, None]).reshape(P, 8)
+    peA = peA_ref[...]
+    m_id, m_sin, m_cos = peid_ref[...], pesin_ref[...], pecos_ref[...]
+    pe_f32, t_pe = fused_mlp._pe_in_kernel(xyz8, peA, m_id, m_sin, m_cos)
+    pe = pe_f32.astype(bf16)
     sproj = sproj_ref[...]
     tproj = tproj_ref[...]
     vcontrib = vcontrib_ref[...]
@@ -186,8 +209,10 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     t = (dot(t_in, w("enc_shape")) + b("enc_shape")).astype(bf16)
     w_sig = w_refs[2 * idx_of["sigma"]][...]      # (W,) f32
     b_sig = w_refs[2 * idx_of["sigma"] + 1][...]  # (1,) f32
-    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1,
-                      keepdims=True) + b_sig       # (P, 1) f32
+    # sigma pre-activation in (T, S) form — Mosaic cannot reshape
+    # (T, S) <-> (P, 1), so the whole sigma chain stays rays-by-samples
+    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1
+                      ).reshape(T, S) + b_sig[0]   # (T, S) f32
     u = dot(t, w("enc_viewdir_pt"))
     yv = jnn.relu(
         u.reshape(T, S, W) + vcontrib[:, None, :].astype(f32)
@@ -203,18 +228,22 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     r = jnn.relu(dot(r_in, w("rgb_hidden")) + b("rgb_hidden")).astype(bf16)
 
     # ---------------- backward chain
-    g = g_ref[...]            # (P, 8) f32: [g_sigma | g_rgb...]
-    g_sigma = g[:, :1]
-    g_rgb = g[:, 1:8]
+    # Cotangent planes stay (T, S); per-point forms are built with 3-D
+    # broadcasts (Mosaic cannot reshape (T, S) <-> (P, 1)). One-hot lane
+    # masks come from iota (kernels cannot capture array constants).
+    g_sigma = gsig_ref[...]                               # (T, S) f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, S, 8), 2)
+    g8_3 = (jnp.where(lane == 0, gr_ref[...][:, :, None], 0.0)
+            + jnp.where(lane == 1, gg_ref[...][:, :, None], 0.0)
+            + jnp.where(lane == 2, gb_ref[...][:, :, None], 0.0))
 
     def acc(name, x, gh):
         j = idx_of[name]
         dwb_refs[2 * j][...] += dot_acc(x, gh)
         dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
 
-    gh = g_rgb.astype(bf16)   # rgb_out is linear
-    # rgb_out w is (W/2, 8): pad gh's 7 cols to 8 with zeros
-    gh8 = jnp.concatenate([gh, jnp.zeros((P, 1), bf16)], axis=-1)
+    # rgb_out is linear; its w is (W/2, 8) with real rgb in cols 0..2
+    gh8 = g8_3.reshape(P, 8).astype(bf16)
     acc("rgb_out", r, gh8)
     gr = dot_t(gh8, w("rgb_out"))            # (P, W/2) f32
     gh = (gr * (r.astype(f32) > 0)).astype(bf16)
@@ -231,12 +260,15 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     gu16 = gu.astype(bf16)
     acc("enc_viewdir_pt", t, gu16)
     g_t = dot_t(gu16, w("enc_viewdir_pt"))
-    # sigma head: d/dpre softplus = sigmoid(pre)
-    dsig = g_sigma * jnn.sigmoid(sig_pre)    # (P, 1) f32
-    g_t = g_t + dsig * w_sig[None, :]
+    # sigma head: d/dpre softplus = sigmoid(pre); all in (T, S, .) space
+    dsig = g_sigma * jnn.sigmoid(sig_pre)    # (T, S) f32
+    g_t = (g_t.reshape(T, S, W)
+           + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
     jsig = idx_of["sigma"]
-    dwb_refs[2 * jsig][...] += jnp.sum(t.astype(f32) * dsig, axis=0)
-    dwb_refs[2 * jsig + 1][...] += jnp.sum(dsig, axis=0)
+    t_dsig = (t.astype(f32).reshape(T, S, W)
+              * dsig[:, :, None]).reshape(P, W)
+    dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
+    dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
     gh = g_t.astype(bf16)                    # enc_shape is linear
     acc("enc_shape", t_in, gh)
     g_cur = dot_t(gh, w("enc_shape"))
@@ -248,11 +280,19 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
         d_sproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
     gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
     acc("enc_xyz", pe, gh)
-    d_pe_ref[...] = dot_t(gh, w("enc_xyz")).astype(bf16)
+    d_pe = dot_t(gh, w("enc_xyz"))                        # (P, 64) f32
+    dpe_dt = m_id + m_sin * jnp.cos(t_pe) - m_cos * jnp.sin(t_pe)
+    d_xyz8 = jax.lax.dot_general(
+        d_pe * dpe_dt, peA,
+        (((1,), (1,)), ((), ())), preferred_element_type=f32)  # @ A^T
+    d_xyz3 = d_xyz8.reshape(T, S, 8)
+    d_z_ref[...] = jnp.sum(d_xyz3 * vd8[:, None, :], axis=-1)  # (T, S)
+    d_ro_ref[...] = jnp.sum(d_xyz3, axis=1)                    # (T, 8)
+    d_vd_ref[...] = jnp.sum(d_xyz3 * z[:, :, None], axis=1)    # (T, 8)
 
 
-def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
-                wflat, g_packed):
+def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
+                vcontrib, wflat, g_planes):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -276,22 +316,30 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
         return pl.BlockSpec(shape, (lambda nd: lambda i: (0,) * nd)(len(shape)),
                             memory_space=pltpu.VMEM)
 
+    pe_ops = fused_mlp.pe_const_operands(cfg.num_xyz_freq)
     in_specs = [
-        tile_spec((P, 64), lambda i: (i, 0)),
+        tile_spec((T, 8), lambda i: (i, 0)),                 # ro8
+        tile_spec((T, 8), lambda i: (i, 0)),                 # vd8
+        tile_spec((T, S), lambda i: (i, 0)),                 # z
         tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
-        tile_spec((P, 8), lambda i: (i, 0)),
-    ] + [const_spec(x.shape) for x in wops]
+    ] + [tile_spec((T, S), lambda i: (i, 0))] * 4 \
+      + [const_spec(c.shape) for c in pe_ops] \
+      + [const_spec(x.shape) for x in wops]
 
     out_shape = [
-        jax.ShapeDtypeStruct((R * S, 64), bf16),                    # d_pe
+        jax.ShapeDtypeStruct((R, 8), f32),                          # d_ro8
+        jax.ShapeDtypeStruct((R, 8), f32),                          # d_vd8
+        jax.ShapeDtypeStruct((R, S), f32),                          # d_z
         jax.ShapeDtypeStruct((R, cfg.shape_blocks, W), bf16),       # d_sproj
         jax.ShapeDtypeStruct((R, cfg.texture_blocks, W), bf16),     # d_tproj
         jax.ShapeDtypeStruct((R, W), bf16),                         # d_vcontrib
     ]
     out_specs = [
-        tile_spec((P, 64), lambda i: (i, 0)),
+        tile_spec((T, 8), lambda i: (i, 0)),
+        tile_spec((T, 8), lambda i: (i, 0)),
+        tile_spec((T, S), lambda i: (i, 0)),
         tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
@@ -316,40 +364,48 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, pe, sproj, tproj, vcontrib,
             bytes_accessed=R * S * (64 * 2 + 8 * 4 + 64 * 2),
             transcendentals=R * S,
         ),
-    )(pe, sproj, tproj, vcontrib, g_packed, *wops)
+        # The default 16 MB scoped-vmem guardrail (not the physical 128 MB)
+        # caps the tile at 8 rays; 16-ray tiles measure 17.2 MB of kernel
+        # stack and are safely under the hardware budget.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT_BYTES),
+    )(ro8, vd8, z, sproj, tproj, vcontrib, *g_planes, *pe_ops, *wops)
     return outs
 
 
 def make_fused_train_op(cfg: NetConfig):
     """Build the custom-VJP op for this architecture.
 
-    Returns ``op(pe, sproj, tproj, vcontrib, *wflat) -> (R*S, 8) f32`` where
-    pe is (R*S, 64) bf16, sproj/tproj are (R, blocks, W) bf16, vcontrib is
-    (R, W) bf16 and wflat is the f32 list from :func:`flatten_params_f32`.
+    Returns ``op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat) ->
+    (sigma, r, g, b)`` — four (R, S) f32 planes — where ro8/vd8 are (R, 8)
+    f32 zero-padded ray origins/directions, z is (R, S) f32 depths (xyz
+    expansion and PE run in-kernel), sproj/tproj are (R, blocks, W) bf16,
+    vcontrib is (R, W) bf16 and wflat is the f32 list from
+    :func:`flatten_params_f32`.
     """
 
     @jax.custom_vjp
-    def op(pe, sproj, tproj, vcontrib, *wflat):
-        return _fwd(pe, sproj, tproj, vcontrib, *wflat)
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
 
-    def _fwd(pe, sproj, tproj, vcontrib, *wflat):
-        R = sproj.shape[0]
-        S = pe.shape[0] // R
+    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        R, S = z.shape
         wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
-        return fused_mlp.invoke_fwd(cfg, S, R, pe, sproj, tproj, vcontrib, wb)
+        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
+                                    vcontrib, wb)
 
-    def fwd_rule(pe, sproj, tproj, vcontrib, *wflat):
-        out = _fwd(pe, sproj, tproj, vcontrib, *wflat)
-        return out, (pe, sproj, tproj, vcontrib, wflat)
+    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
 
     def bwd_rule(res, g):
-        pe, sproj, tproj, vcontrib, wflat = res
-        R = sproj.shape[0]
-        S = pe.shape[0] // R
-        outs = _invoke_bwd(cfg, S, R, pe, sproj, tproj, vcontrib, wflat,
-                           g.astype(jnp.float32))
-        d_pe, d_sproj, d_tproj, d_vcontrib = outs[:4]
-        return (d_pe, d_sproj, d_tproj, d_vcontrib, *outs[4:])
+        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
+        R, S = z.shape
+        g_planes = tuple(x.astype(jnp.float32) for x in g)
+        outs = _invoke_bwd(cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib,
+                           wflat, g_planes)
+        d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib = outs[:6]
+        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib, *outs[6:])
 
     op.defvjp(fwd_rule, bwd_rule)
     return op
@@ -358,24 +414,28 @@ def make_fused_train_op(cfg: NetConfig):
 def fused_apply_train(
     params,
     cfg: NetConfig,
-    xyz: jnp.ndarray,          # (R, S, 3)
+    ray_o: jnp.ndarray,        # (R, 3)
     viewdir: jnp.ndarray,      # (R, 3)
+    z_vals: jnp.ndarray,       # (R, S)
     shape_code: jnp.ndarray,   # (R, D) or (D,)
     texture_code: jnp.ndarray,
     op=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Differentiable drop-in for ``apply_codenerf`` using the fused kernels.
-    The surrounding math (PE, code projections, weight split) is plain XLA,
-    so jax.grad flows to params, codes, xyz and viewdirs."""
-    R, S = xyz.shape[0], xyz.shape[1]
+):
+    """Differentiable ray-native MLP evaluation using the fused kernels:
+    returns ``(sigmas (R, S) f32, (r, g, b) planes each (R, S) f32)`` —
+    feed the plane tuple straight to ``core.render.composite``. The
+    surrounding per-ray math (viewdir PE, code projections, weight split)
+    is plain XLA, so jax.grad flows to params, codes, rays and z."""
+    R, S = z_vals.shape[0], z_vals.shape[1]
     bf16 = jnp.bfloat16
     if shape_code.ndim == 1:
         shape_code = jnp.broadcast_to(shape_code, (R, shape_code.shape[-1]))
     if texture_code.ndim == 1:
         texture_code = jnp.broadcast_to(texture_code, (R, texture_code.shape[-1]))
 
-    pe = positional_encoding(xyz, cfg.num_xyz_freq).reshape(R * S, cfg.d_xyz)
-    pe = fused_mlp._pad_lanes(pe, 64).astype(bf16)
+    ro8 = fused_mlp._pad_lanes(ray_o.astype(jnp.float32), 8)
+    vd8 = fused_mlp._pad_lanes(viewdir.astype(jnp.float32), 8)
+    z_vals = z_vals.astype(jnp.float32)
     vd_pe = positional_encoding(viewdir, cfg.num_dir_freq)
 
     def ray_proj(prefix, code, blocks):
@@ -400,7 +460,5 @@ def fused_apply_train(
     wflat = flatten_params_f32(params, cfg)
     if op is None:
         op = make_fused_train_op(cfg)
-    out = op(pe, sproj, tproj, vcontrib, *wflat)
-    sigmas = out[:, 0].reshape(R, S)
-    rgbs = out[:, 1:4].reshape(R, S, 3)
-    return sigmas, rgbs
+    sigmas, r, g, b = op(ro8, vd8, z_vals, sproj, tproj, vcontrib, *wflat)
+    return sigmas, (r, g, b)

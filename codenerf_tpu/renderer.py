@@ -103,10 +103,12 @@ def render_rays(
            (midpoint z-values + even CDF probes in the fine pass).
       fine_params: separate fine-network params when
            ``rcfg.share_fine_weights`` is False; ignored otherwise.
-      apply_fn: optional MLP evaluation override with the signature
-           ``fn(params, cfg, xyz, viewdir, s_code, t_code) -> (sigmas, rgbs)``
-           — used to swap in the fused Pallas kernels; defaults to the XLA
-           ``apply_codenerf``.
+      apply_fn: optional ray-native MLP evaluation override with the
+           signature ``fn(params, cfg, ray_o, viewdir, z_vals, s_code,
+           t_code) -> (sigmas (R, S), rgbs)`` where rgbs is (R, S, 3) or a
+           tuple of three (R, S) channel planes — used to swap in the
+           fused Pallas kernels (which expand xyz and composite in the
+           TPU-native plane layout); defaults to the XLA ``apply_codenerf``.
       occ_grid: optional :class:`core.occupancy.OccupancyGrid` — per-ray
            [t0, t1] tightens to the occupied span (empty-space skipping
            beyond the bounding sphere; ``rcfg.occ_probes`` probes/ray).
@@ -154,15 +156,16 @@ def render_rays(
             z_coarse = jnp.broadcast_to(z_coarse, (R, rcfg.n_samples))
 
     def eval_and_composite(p, z_vals):
-        xyz = ray_o[:, None, :] + viewdir[:, None, :] * z_vals[..., None]
         if apply_fn is not None:
-            sigmas, rgbs = apply_fn(p, net_cfg, xyz, viewdir,
+            z2d = jnp.broadcast_to(z_vals, (R, z_vals.shape[-1]))
+            sigmas, rgbs = apply_fn(p, net_cfg, ray_o, viewdir, z2d,
                                     shape_code, texture_code)
-        else:
-            sigmas, rgbs = apply_codenerf(
-                p, net_cfg, xyz, viewdir, shape_code, texture_code,
-                compute_dtype=compute_dtype,
-            )
+            return composite(sigmas, rgbs, z2d, white_bg=rcfg.white_bg)
+        xyz = ray_o[:, None, :] + viewdir[:, None, :] * z_vals[..., None]
+        sigmas, rgbs = apply_codenerf(
+            p, net_cfg, xyz, viewdir, shape_code, texture_code,
+            compute_dtype=compute_dtype,
+        )
         return composite(sigmas, rgbs, z_vals, white_bg=rcfg.white_bg)
 
     coarse = eval_and_composite(params, z_coarse)

@@ -144,9 +144,9 @@ def build_train_step(
 
         _op = ft.make_fused_train_op(net_cfg)
 
-        def apply_fn(p, cfg, xyz, viewdir, s_code, t_code):
-            return ft.fused_apply_train(p, cfg, xyz, viewdir, s_code, t_code,
-                                        op=_op)
+        def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
+            return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
+                                        s_code, t_code, op=_op)
 
     def loss_fn(trainables, batch: Batch, key: jax.Array):
         shape_code = trainables["shape_codes"][batch["obj"]]

@@ -32,15 +32,16 @@ def _interpret_pallas(monkeypatch):
 
 
 def _setup(cfg, R, S, seed=1):
-    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
-    xyz = jax.random.uniform(ks[0], (R, S, 3), jnp.float32, -1.3, 1.3)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 7)
+    ro = jax.random.uniform(ks[0], (R, 3), jnp.float32, -0.5, 0.5)
     vd = jax.random.normal(ks[1], (R, 3))
     vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    z = jnp.sort(jax.random.uniform(ks[6], (R, S), jnp.float32, 0.3, 2.2), -1)
     sc = jax.random.normal(ks[2], (R, cfg.latent_dim)) * 0.09
     tc = jax.random.normal(ks[3], (R, cfg.latent_dim)) * 0.09
     tgt_s = jax.random.uniform(ks[4], (R, S))
     tgt_r = jax.random.uniform(ks[5], (R, S, 3))
-    return xyz, vd, sc, tc, tgt_s, tgt_r
+    return ro, vd, z, sc, tc, tgt_s, tgt_r
 
 
 def _flat(tree):
@@ -52,26 +53,33 @@ def test_fused_train_values_and_grads():
     cfg = NetConfig(shape_blocks=2, texture_blocks=1)
     params = init_codenerf(jax.random.PRNGKey(0), cfg)
     R, S = 32, 24
-    xyz, vd, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S)
+    ro, vd, z, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S)
 
-    def mk_loss(apply_fn, dtype=None):
-        def loss(p, sc, tc, xyz):
-            kwargs = {"compute_dtype": dtype} if dtype else {}
-            s, r = apply_fn(p, cfg, xyz, vd, sc, tc, **kwargs)
+    def mk_loss(kind, dtype=None):
+        def loss(p, sc, tc, ro, vd, z):
+            if kind == "xla":
+                xyz = ro[:, None, :] + vd[:, None, :] * z[..., None]
+                s, r = apply_codenerf(p, cfg, xyz, vd, sc, tc,
+                                      compute_dtype=dtype)
+            else:
+                s, planes = fused_apply_train(p, cfg, ro, vd, z, sc, tc)
+                r = jnp.stack(planes, axis=-1)
             return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
         return loss
 
-    args = (params, sc, tc, xyz)
-    l_ref = float(mk_loss(apply_codenerf, jnp.bfloat16)(*args))
-    l_fused = float(mk_loss(fused_apply_train)(*args))
+    args = (params, sc, tc, ro, vd, z)
+    l_ref = float(mk_loss("xla", jnp.bfloat16)(*args))
+    l_fused = float(mk_loss("fused")(*args))
     assert abs(l_ref - l_fused) < 1e-4
 
-    g32 = jax.grad(mk_loss(apply_codenerf, jnp.float32), (0, 1, 2, 3))(*args)
-    g16 = jax.grad(mk_loss(apply_codenerf, jnp.bfloat16), (0, 1, 2, 3))(*args)
-    gfu = jax.grad(mk_loss(fused_apply_train), (0, 1, 2, 3))(*args)
+    argnums = (0, 1, 2, 3, 4, 5)
+    g32 = jax.grad(mk_loss("xla", jnp.float32), argnums)(*args)
+    g16 = jax.grad(mk_loss("xla", jnp.bfloat16), argnums)(*args)
+    gfu = jax.grad(mk_loss("fused"), argnums)(*args)
 
     for name, a16, afu, a32 in zip(
-        ["params", "shape_codes", "texture_codes", "xyz"], g16, gfu, g32
+        ["params", "shape_codes", "texture_codes", "ro", "vd", "z"],
+        g16, gfu, g32
     ):
         v32, v16, vfu = _flat(a32), _flat(a16), _flat(afu)
         rel_xla = float(jnp.linalg.norm(v16 - v32) / (jnp.linalg.norm(v32) + 1e-12))
@@ -87,10 +95,12 @@ def test_fused_train_flagship_architecture():
     cfg = NetConfig()  # 3+1 blocks, W=256
     params = init_codenerf(jax.random.PRNGKey(2), cfg)
     R, S = 32, 8
-    xyz, vd, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S, seed=3)
+    ro, vd, z, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S, seed=3)
+    xyz = ro[:, None, :] + vd[:, None, :] * z[..., None]
 
     def loss(p):
-        s, r = fused_apply_train(p, cfg, xyz, vd, sc, tc)
+        s, planes = fused_apply_train(p, cfg, ro, vd, z, sc, tc)
+        r = jnp.stack(planes, axis=-1)
         return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
 
     def loss_ref(p):
