@@ -105,6 +105,7 @@ def build_train_step(
     tx: optax.GradientTransformation,
     microbatch_rays: int = 0,
     batch_size: int = 0,
+    mesh=None,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns the un-jitted step function; callers jit it with the sharding
     constraints they want (see ``parallel/mesh.py`` and ``Trainer``).
@@ -115,7 +116,14 @@ def build_train_step(
     the full batch, enabling arbitrarily large effective batches (the
     TPU-native analog of the reference's serial 2048-ray chunk loop with
     grad accumulation, ``src/trainer.py:69-84``, minus its per-image
-    zero_grad bug)."""
+    zero_grad bug).
+
+    ``mesh`` is required when ``hp.use_fused_train`` runs under a device
+    mesh: XLA's SPMD partitioner cannot split a Pallas call on its own, so
+    the fused op is shard_map-ed over the batch axes (each device runs the
+    kernel on its ray shard; weight cotangents all-reduce automatically
+    through shard_map's transpose). Weights must be replicated — fused + a
+    'model' (TP) axis > 1 is rejected."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
 
@@ -124,10 +132,26 @@ def build_train_step(
         from codenerf_tpu.ops import fused_train as ft
 
         # Validate against the ACTUAL per-step MLP shapes, not a probe: the
-        # kernel tiles the ray axis, so the step's ray count must divide into
-        # tiles, for every sample count the renderer will evaluate (coarse,
-        # and coarse+fine when hierarchical sampling is on).
+        # kernel tiles the ray axis, so the step's PER-DEVICE ray count must
+        # divide into tiles, for every sample count the renderer will
+        # evaluate (coarse, and coarse+fine with hierarchical sampling).
         step_rays = microbatch_rays or batch_size or 32 * ft._TILE_RAYS
+        if mesh is not None:
+            if mesh.shape.get("model", 1) > 1:
+                raise ValueError(
+                    "use_fused_train requires replicated weights: the "
+                    "fused kernels hold full weight matrices in VMEM, so "
+                    "a 'model' (tensor-parallel) axis > 1 is unsupported. "
+                    "Use data/replica parallelism or disable the flag."
+                )
+            n_shards = 1
+            for ax in ("replica", "data"):
+                n_shards *= mesh.shape.get(ax, 1)
+            if step_rays % n_shards:
+                raise ValueError(
+                    f"batch {step_rays} not divisible by the "
+                    f"{n_shards}-way batch sharding")
+            step_rays //= n_shards
         sample_counts = [rcfg.n_samples]
         if rcfg.n_importance > 0:
             sample_counts.append(rcfg.n_samples + rcfg.n_importance)
@@ -139,10 +163,27 @@ def build_train_step(
                     "tile-divisible ray count "
                     f"(got W={net_cfg.W}, d_xyz={net_cfg.d_xyz}, "
                     f"blocks={net_cfg.shape_blocks}/{net_cfg.texture_blocks}, "
-                    f"rays/step={step_rays}, samples={s})"
+                    f"rays/step(/device)={step_rays}, samples={s})"
                 )
 
         _op = ft.make_fused_train_op(net_cfg)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            batch_axes = tuple(ax for ax in ("replica", "data")
+                               if ax in mesh.axis_names)
+            n_w = 2 * len(ft._weight_shapes(net_cfg))
+            _op = _shard_map(
+                _op, mesh=mesh,
+                in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
+                out_specs=(P(batch_axes),) * 4,
+                check_vma=False,
+            )
 
         def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
             return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,

@@ -101,16 +101,9 @@ class Trainer:
             jax.random.PRNGKey(self.hp.seed), self.hp, self.n_objects, self.tx
         )
 
-        if mesh is not None and self.hp.use_fused_train:
-            raise ValueError(
-                "use_fused_train is single-device for now: the Pallas "
-                "kernel is not shard_map-wrapped, so under a mesh XLA "
-                "would replicate it instead of partitioning the ray axis. "
-                "Drop the mesh or disable use_fused_train."
-            )
         step_fn = build_train_step(self.hp, self.H, self.W, self.tx,
                                    microbatch_rays=microbatch_rays,
-                                   batch_size=self.B)
+                                   batch_size=self.B, mesh=mesh)
         if mesh is not None:
             st_sh = state_shardings(mesh, self.state)
             b_sh = batch_sharding(mesh)

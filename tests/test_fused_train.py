@@ -204,3 +204,67 @@ def test_fused_train_step_matches_xla_training():
         losses_x.append(float(m_x["loss"]))
     np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
     assert losses_f[-1] < losses_f[0]  # it is actually optimizing
+
+
+def test_fused_train_with_mesh_matches_single_device():
+    """use_fused_train under a data-parallel mesh: the op is shard_map-ed
+    over the batch axes, so each device runs the kernel on its ray shard
+    and weight gradients all-reduce. Must match single-device fused
+    training numerically (round-2 capability: fused + mesh used to be
+    rejected)."""
+    import jax.numpy as jnp
+
+    from codenerf_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        state_shardings,
+    )
+    from codenerf_tpu.training.state import create_train_state
+    from codenerf_tpu.training.train_step import (
+        build_optimizer,
+        build_train_step,
+    )
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.data.pipeline import RayBatchPipeline
+
+    hp = _fused_hparams()
+    scene = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=2)
+    pipe = RayBatchPipeline(scene["images"], scene["poses"], scene["focals"])
+    tx = build_optimizer(hp)
+    batch = {k: jnp.asarray(v) for k, v in pipe.sample(256).items()}
+
+    state1 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    step1 = jax.jit(build_train_step(hp, pipe.H, pipe.W, tx, batch_size=256))
+    s1, m1 = step1(state1, batch)
+
+    mesh = make_mesh(model=1)  # 8-way DP: 32 rays/device = one bwd tile
+    state2 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    st_sh = state_shardings(mesh, state2)
+    b_sh = batch_sharding(mesh)
+    step2 = jax.jit(
+        build_train_step(hp, pipe.H, pipe.W, tx, batch_size=256, mesh=mesh),
+        in_shardings=(st_sh, {k: b_sh for k in batch}),
+        out_shardings=(st_sh, None),
+    )
+    state2 = jax.device_put(state2, st_sh)
+    s2, m2 = step2(state2, jax.device_put(batch, {k: b_sh for k in batch}))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainables),
+                    jax.tree_util.tree_leaves(s2.trainables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
+
+
+def test_fused_train_rejects_tensor_parallel_mesh():
+    from codenerf_tpu.parallel.mesh import make_mesh
+    from codenerf_tpu.training.train_step import (
+        build_optimizer,
+        build_train_step,
+    )
+
+    hp = _fused_hparams()
+    tx = build_optimizer(hp)
+    with pytest.raises(ValueError, match="replicated weights"):
+        build_train_step(hp, 8, 8, tx, batch_size=256,
+                         mesh=make_mesh(data=4, model=2))
