@@ -1,31 +1,31 @@
-"""Fully-fused CodeNeRF MLP forward as a Pallas TPU kernel.
+"""Fully-fused, RAY-NATIVE CodeNeRF MLP forward as a Pallas TPU kernel.
 
-The XLA forward writes/reads every (R·S, 256) activation to HBM between
-layers (~10 round-trips of ~800 MB at 16K rays); this kernel keeps ALL
-weights (~1.4 MB bf16 — the entire 715K-param MLP fits in VMEM) and the
-activations of a 64-ray tile resident on-chip, so HBM traffic collapses to
-the PE inputs and the packed (R·S, 8) [sigma | rgb] outputs.
+The kernel takes (origins, directions, z-samples) per ray tile and emits
+four (rays, samples) channel planes — the xyz expansion and the xyz
+positional encoding happen IN-KERNEL, so nothing (R·S, small)-shaped is
+ever materialized in HBM (round-2 measurement: PE materialization cost
+~14 ms and the (R·S, k) relayouts ~20 ms of a 76 ms training step at 16K
+rays x 96 samples). All weights (~0.7 MB bf16 — the entire 715K-param MLP)
+stay VMEM-resident; per-tile activations never leave VMEM.
 
 Division of labor (chosen for MXU/VPU fit, not convenience):
-- OUTSIDE (XLA, negligible): positional encodings; per-ray code projections
+- OUTSIDE (XLA, O(rays) only): per-ray code projections
   ``relu(W_z @ code + b)`` (R, W); the per-ray viewdir contribution
   ``PE(vd) @ W_v + b`` — splitting enc_viewdir's (W+27, W) weight into a
   per-point (W, W) part and a per-RAY (27, W) part removes the (R·S, 283)
   concat entirely (the viewdir term is constant along a ray);
-- INSIDE (Pallas): the seven (P, 256)x(256, 256)-class matmuls per tile,
-  additive code injection, ReLUs, Softplus — all in VMEM.
+- INSIDE (Pallas): xyz = ro + vd·z, the 64-lane positional encoding
+  (t = xyz8 @ A, then masked sin/cos), the seven (P, 256)x(256, 256)-class
+  matmuls per tile, additive code injection, ReLUs, Softplus.
 
-The kernel is forward-only and OPT-IN. Measured on v5e (axon) at the
-flagship config (W=256, 96 samples, 32K rays): this kernel reaches 117
-TF/s, while plain XLA reaches 143 TF/s — XLA already fuses bias+ReLU into
-the matmuls and pipelines the inter-layer HBM traffic well at this size,
-and Mosaic's 32-bit-accumulator requirement caps the tile at 32 rays
-(the f32 accumulators blow the 16 MB VMEM scoped limit at 64). The op is
-kept because (a) it is the scaffold for a fused fwd+bwd training kernel
-(where XLA leaves ~2x on the table — backward runs at ~4x forward cost),
-and (b) it wins on narrower configs where XLA's lowering is weaker. Layer
-semantics match ``apply_codenerf`` bit-for-bit up to bf16 rounding
-(tested against it in tests/test_fused.py).
+This forward runs at ~121 TF/s standalone (v5e, flagship config); for
+EVAL-only rendering plain XLA still wins (~143 TF/s — it fuses bias+ReLU
+into the matmuls and pipelines inter-layer HBM traffic well), so the
+renderer keeps the XLA path by default. Where this kernel earns its keep
+is as the forward half of the fused TRAINING op (ops/fused_train.py),
+where the ray-native boundary eliminates the glue that dominated the XLA
+step. Layer semantics match ``apply_codenerf`` bit-for-bit up to bf16
+rounding (tested against it in tests/test_fused.py).
 
 Reference architecture being fused: ``src/model.py:36-53``.
 """
