@@ -202,35 +202,22 @@ def _kernel(cfg: NetConfig, S: int,
     b_out[...] = rgb3[:, :, 2]
 
 
-def fused_codenerf_apply(
-    params,
-    cfg: NetConfig,
-    ray_o: jnp.ndarray,      # (R, 3)
-    viewdir: jnp.ndarray,    # (R, 3)
-    z_vals: jnp.ndarray,     # (R, S) depth samples
-    shape_code: jnp.ndarray,    # (R, D) or (D,)
-    texture_code: jnp.ndarray,  # (R, D) or (D,)
-) -> Tuple[jnp.ndarray, tuple]:
-    """Ray-native fused forward (bfloat16 compute, forward-only): takes
-    rays + depth samples directly (xyz expansion and PE in-kernel).
-    Returns (sigmas (R, S) f32, (r, g, b) planes each (R, S) f32) — the
-    plane form composites without any lanes-3 array (core/render.py)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    R, S = z_vals.shape[0], z_vals.shape[1]
-    if not fused_available(cfg, R, S):
-        raise ValueError(
-            f"fused kernel unsupported for W={cfg.W}, R={R}, S={S}"
-        )
+def prep_ray_operands(params, cfg: NetConfig, ray_o, viewdir, z_vals,
+                      shape_code, texture_code):
+    """Per-RAY XLA precompute shared by the forward-only and training fused
+    paths (everything per-POINT — xyz expansion, PE — runs in-kernel):
+    lane-padded origins/directions, f32 z, per-ray code projections, and
+    the per-ray viewdir contribution from the enc_viewdir weight split
+    (rows [:W] act on the trunk in-kernel, rows [W:] on PE(viewdir) here;
+    the bias rides the per-ray part). All of it is differentiable XLA."""
     bf16 = jnp.bfloat16
+    R = z_vals.shape[0]
     if shape_code.ndim == 1:
         shape_code = jnp.broadcast_to(shape_code, (R, shape_code.shape[-1]))
     if texture_code.ndim == 1:
-        texture_code = jnp.broadcast_to(texture_code, (R, texture_code.shape[-1]))
+        texture_code = jnp.broadcast_to(
+            texture_code, (R, texture_code.shape[-1]))
 
-    # ---- host-side (XLA) precomputation, all O(R). Everything per-POINT
-    # (xyz expansion, PE) runs in-kernel; only tiny per-ray work stays here.
     ro8 = _pad_lanes(ray_o.astype(jnp.float32), 8)
     vd8 = _pad_lanes(viewdir.astype(jnp.float32), 8)
     z_vals = z_vals.astype(jnp.float32)
@@ -248,48 +235,43 @@ def fused_codenerf_apply(
 
     sproj = ray_proj("shape_latent", shape_code, cfg.shape_blocks)
     tproj = ray_proj("texture_latent", texture_code, cfg.texture_blocks)
-
-    # enc_viewdir split: rows [:W] act on the trunk (in-kernel), rows [W:]
-    # on PE(viewdir) (per-ray, here). Bias rides the per-ray part.
     w_encv = params["enc_viewdir"]["w"]
     vcontrib = (
         jnp.dot(vd_pe.astype(bf16), w_encv[cfg.W:].astype(bf16),
                 preferred_element_type=jnp.float32)
         + params["enc_viewdir"]["b"]
     ).astype(bf16)  # (R, W)
+    return ro8, vd8, z_vals, sproj, tproj, vcontrib
 
-    # ---- weight operands (bf16, padded where needed)
-    wb = []
 
-    def add(wkey, pad_in=None, pad_out=None):
-        p = params[wkey]
-        w = p["w"].astype(bf16)
-        if pad_in is not None and w.shape[0] < pad_in:
-            w = jnp.concatenate(
-                [w, jnp.zeros((pad_in - w.shape[0], w.shape[1]), bf16)], 0
-            )
-        if pad_out is not None and w.shape[1] < pad_out:
-            w = jnp.concatenate(
-                [w, jnp.zeros((w.shape[0], pad_out - w.shape[1]), bf16)], 1
-            )
-        b = p["b"].astype(jnp.float32)
-        if pad_out is not None and b.shape[0] < pad_out:
-            b = jnp.concatenate([b, jnp.zeros((pad_out - b.shape[0],), b.dtype)])
-        wb.append(w)
-        wb.append(b)
+def fused_codenerf_apply(
+    params,
+    cfg: NetConfig,
+    ray_o: jnp.ndarray,      # (R, 3)
+    viewdir: jnp.ndarray,    # (R, 3)
+    z_vals: jnp.ndarray,     # (R, S) depth samples
+    shape_code: jnp.ndarray,    # (R, D) or (D,)
+    texture_code: jnp.ndarray,  # (R, D) or (D,)
+) -> Tuple[jnp.ndarray, tuple]:
+    """Ray-native fused forward (bfloat16 compute, forward-only): takes
+    rays + depth samples directly (xyz expansion and PE in-kernel).
+    Returns (sigmas (R, S) f32, (r, g, b) planes each (R, S) f32) — the
+    plane form composites without any lanes-3 array (core/render.py)."""
+    R, S = z_vals.shape[0], z_vals.shape[1]
+    if not fused_available(cfg, R, S):
+        raise ValueError(
+            f"fused kernel unsupported for W={cfg.W}, R={R}, S={S}"
+        )
+    ro8, vd8, z_vals, sproj, tproj, vcontrib = prep_ray_operands(
+        params, cfg, ray_o, viewdir, z_vals, shape_code, texture_code)
 
-    add("enc_xyz", pad_in=64)
-    for j in range(cfg.shape_blocks):
-        add(f"shape_{j}")
-    add("enc_shape")
-    wb.append(params["sigma"]["w"][:, 0].astype(jnp.float32))  # (W,)
-    wb.append(params["sigma"]["b"].astype(jnp.float32))        # (1,)
-    wb.append(w_encv[: cfg.W].astype(bf16))                    # point part
-    wb.append(jnp.zeros((cfg.W,), jnp.float32))                # bias in vcontrib
-    for j in range(cfg.texture_blocks):
-        add(f"texture_{j}")
-    add("rgb_hidden")
-    add("rgb_out", pad_out=8)
+    # Weight operands: the SAME positional list as the training op
+    # (ops/fused_train.flatten_params_f32 is the single source of truth for
+    # order/padding), cast to the kernel dtypes.
+    from codenerf_tpu.ops.fused_train import flatten_params_f32
+
+    wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x
+          for x in flatten_params_f32(params, cfg)]
 
     sigmas, r, g, b = invoke_fwd(cfg, S, R, ro8, vd8, z_vals, sproj, tproj,
                                  vcontrib, wb)

@@ -36,7 +36,6 @@ import jax
 import jax.numpy as jnp
 
 from codenerf_tpu.config import NetConfig
-from codenerf_tpu.core.encoding import positional_encoding
 from codenerf_tpu.ops import fused_mlp
 
 # Backward tiles are smaller than forward ones: the kernel holds the saved
@@ -426,37 +425,8 @@ def fused_apply_train(
     feed the plane tuple straight to ``core.render.composite``. The
     surrounding per-ray math (viewdir PE, code projections, weight split)
     is plain XLA, so jax.grad flows to params, codes, rays and z."""
-    R, S = z_vals.shape[0], z_vals.shape[1]
-    bf16 = jnp.bfloat16
-    if shape_code.ndim == 1:
-        shape_code = jnp.broadcast_to(shape_code, (R, shape_code.shape[-1]))
-    if texture_code.ndim == 1:
-        texture_code = jnp.broadcast_to(texture_code, (R, texture_code.shape[-1]))
-
-    ro8 = fused_mlp._pad_lanes(ray_o.astype(jnp.float32), 8)
-    vd8 = fused_mlp._pad_lanes(viewdir.astype(jnp.float32), 8)
-    z_vals = z_vals.astype(jnp.float32)
-    vd_pe = positional_encoding(viewdir, cfg.num_dir_freq)
-
-    def ray_proj(prefix, code, blocks):
-        outs = []
-        for j in range(blocks):
-            p = params[f"{prefix}_{j}"]
-            outs.append(jax.nn.relu(
-                jnp.dot(code.astype(bf16), p["w"].astype(bf16),
-                        preferred_element_type=jnp.float32) + p["b"]
-            ).astype(bf16))
-        return jnp.stack(outs, axis=1)
-
-    sproj = ray_proj("shape_latent", shape_code, cfg.shape_blocks)
-    tproj = ray_proj("texture_latent", texture_code, cfg.texture_blocks)
-    w_encv = params["enc_viewdir"]["w"]
-    vcontrib = (
-        jnp.dot(vd_pe.astype(bf16), w_encv[cfg.W:].astype(bf16),
-                preferred_element_type=jnp.float32)
-        + params["enc_viewdir"]["b"]
-    ).astype(bf16)
-
+    ro8, vd8, z_vals, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+        params, cfg, ray_o, viewdir, z_vals, shape_code, texture_code)
     wflat = flatten_params_f32(params, cfg)
     if op is None:
         op = make_fused_train_op(cfg)

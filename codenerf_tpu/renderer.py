@@ -50,17 +50,21 @@ def chunk_plan(n_rays: int, target: int = 4096) -> tuple:
 
     Prefers an exact divisor of ``n_rays`` when a reasonable one exists
     (>= half the target — zero padding waste; 128x128 gives the natural
-    4096, 96x96 gives 3072). Otherwise keeps the chunk at ``target`` and
-    pads the ray axis up to ``n_padded = n_chunks * chunk`` (waste < one
-    chunk). Previously a prime ray count degraded to chunk=1 — a 127x127
+    4096, 96x96 gives 3072). Otherwise the ray axis is padded: the chunk is
+    the per-chunk share rounded up to a 128-lane multiple, so waste stays
+    under one lane row per chunk (a 65x65 render pads 4225 -> 4352, not to
+    2 x 4096). Previously a prime ray count degraded to chunk=1 — a 127x127
     render would have issued 16,129 sequential ``lax.map`` steps."""
     if n_rays <= target:
         return n_rays, 1, n_rays
     for c in range(target, target // 2 - 1, -1):
         if n_rays % c == 0:
             return c, n_rays // c, n_rays
-    n_chunks = -(-n_rays // target)
-    return target, n_chunks, n_chunks * target
+    n_chunks = -(-n_rays // target)            # ceil
+    per_chunk = -(-n_rays // n_chunks)
+    chunk = min(target, ((per_chunk + 127) // 128) * 128)
+    n_chunks = -(-n_rays // chunk)
+    return chunk, n_chunks, n_chunks * chunk
 
 
 def pick_chunk(n_rays: int, target: int = 4096) -> int:

@@ -131,10 +131,14 @@ def build_train_step(
     if hp.use_fused_train:
         from codenerf_tpu.ops import fused_train as ft
 
-        # Validate against the ACTUAL per-step MLP shapes, not a probe: the
-        # kernel tiles the ray axis, so the step's PER-DEVICE ray count must
-        # divide into tiles, for every sample count the renderer will
-        # evaluate (coarse, and coarse+fine with hierarchical sampling).
+        # Validate against the ACTUAL per-step MLP shapes when the caller
+        # provides them (Trainer always passes batch_size): the kernel tiles
+        # the ray axis, so the step's PER-DEVICE ray count must divide into
+        # tiles, for every sample count the renderer will evaluate (coarse,
+        # and coarse+fine with hierarchical sampling). Without a known size
+        # only the architecture is validated here (the probe count is
+        # tile-divisible by construction) and an indivisible batch fails at
+        # kernel-call time instead.
         step_rays = microbatch_rays or batch_size or 32 * ft._TILE_RAYS
         if mesh is not None:
             if mesh.shape.get("model", 1) > 1:
@@ -158,9 +162,9 @@ def build_train_step(
         for s in sample_counts:
             if not ft.fused_train_available(net_cfg, step_rays, s):
                 raise ValueError(
-                    "use_fused_train requires W % 128 == 0, W/2 >= 128, "
-                    "num_xyz_freq <= 10, >= 1 shape/texture block and a "
-                    "tile-divisible ray count "
+                    "use_fused_train requires W % 256 == 0 (the rgb-hidden "
+                    "width W/2 must be a lane multiple), num_xyz_freq <= 10, "
+                    ">= 1 shape/texture block and a tile-divisible ray count "
                     f"(got W={net_cfg.W}, d_xyz={net_cfg.d_xyz}, "
                     f"blocks={net_cfg.shape_blocks}/{net_cfg.texture_blocks}, "
                     f"rays/step(/device)={step_rays}, samples={s})"
@@ -170,20 +174,18 @@ def build_train_step(
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
-            try:
-                from jax import shard_map as _shard_map
-            except ImportError:  # older jax
-                from jax.experimental.shard_map import shard_map as _shard_map
+            from jax import shard_map as _shard_map
 
             batch_axes = tuple(ax for ax in ("replica", "data")
                                if ax in mesh.axis_names)
             n_w = 2 * len(ft._weight_shapes(net_cfg))
-            _op = _shard_map(
-                _op, mesh=mesh,
-                in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
-                out_specs=(P(batch_axes),) * 4,
-                check_vma=False,
-            )
+            kw = dict(mesh=mesh,
+                      in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
+                      out_specs=(P(batch_axes),) * 4)
+            try:
+                _op = _shard_map(_op, check_vma=False, **kw)
+            except TypeError:  # pre-0.9 jax spells it check_rep
+                _op = _shard_map(_op, check_rep=False, **kw)
 
         def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
             return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
