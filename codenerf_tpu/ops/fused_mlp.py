@@ -49,8 +49,9 @@ _FWD_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def fused_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
-    """The kernel supports the standard architecture family: W a multiple of
-    128, rgb hidden W//2 >= 128, and a ray count divisible by the tile."""
+    """The kernel supports the standard architecture family: W a multiple
+    of 256 (so the rgb-hidden width W/2 is a 128-lane multiple), and a ray
+    count divisible by the tile."""
     return (
         cfg.W % 128 == 0
         and (cfg.W // 2) % 128 == 0
