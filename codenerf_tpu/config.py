@@ -39,6 +39,7 @@ _EXTENSION_KEYS = {
     "hierarchical_share_weights",
     "seed",
     "use_fused_train",
+    "fused_composite",
     "bound_sphere_radius",
     "reference_quirks",
 }
@@ -164,6 +165,11 @@ class Hparams:
     # a tile-divisible ray batch; also yields MORE accurate gradients (f32
     # inter-layer cotangents and f32 dW accumulation).
     use_fused_train: bool = False
+    # With use_fused_train and coarse-only sampling (N_importance == 0),
+    # also run the volume rendering INSIDE the kernels (per-ray op
+    # boundary — no (rays, samples) plane ever reaches HBM). Off = keep
+    # the plane-output kernels + XLA composite (A/B and debugging).
+    fused_composite: bool = True
     quirks: ReferenceQuirks = dataclasses.field(default_factory=ReferenceQuirks)
     raw: Optional[Dict[str, Any]] = None
 
@@ -193,6 +199,7 @@ class Hparams:
             "weight_decay": self.weight_decay,
             "seed": self.seed,
             "use_fused_train": self.use_fused_train,
+            "fused_composite": self.fused_composite,
             "reference_quirks": dataclasses.asdict(self.quirks),
         }
         return d
@@ -241,6 +248,7 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
         compute_dtype=str(cfg.get("compute_dtype", "bfloat16")),
         seed=int(cfg.get("seed", 0)),
         use_fused_train=bool(cfg.get("use_fused_train", False)),
+        fused_composite=bool(cfg.get("fused_composite", True)),
         quirks=ReferenceQuirks(**cfg.get("reference_quirks", {})),
         raw=dict(cfg),
     )

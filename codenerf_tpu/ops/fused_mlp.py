@@ -120,6 +120,85 @@ def _pe_in_kernel(xyz8, A, m_id, m_sin, m_cos):
     return pe, t
 
 
+# ---------------------------------------------------------------------------
+# IN-KERNEL volume rendering (composite + white background).
+#
+# The exclusive cumulative transmittance T_i = prod_{j<i}(1-a_j+1e-10) is
+# computed in LOG space with a strictly-triangular (S, S) matmul — the
+# MXU-native spelling of an exclusive cumsum (Mosaic has no lane-axis
+# cumprod, and XLA's cumprod lowering is the slow part of the composite;
+# S=96 makes the matrix tiny). All masks/selector matrices are built from
+# iotas in-kernel, so no extra operands are needed. Math matches
+# ``core/render.py::composite`` (reference ``src/utils.py:34-47``) to f32
+# log/exp rounding.
+# ---------------------------------------------------------------------------
+
+
+def _dotf(x, w):
+    return jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _dotf_t(x, w):  # contract x's lanes with w's SECOND axis (x @ w^T)
+    return jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def composite_fwd_in_kernel(sig, c0, c1, c2, z, white_bg):
+    """All inputs (T, S) f32. Returns ``(out8 (T, 8) f32, aux)`` with
+    out8 = [r | g | b | depth | acc | 0 0 0] per ray; aux carries the
+    intermediates the backward helper reuses."""
+    T, S = z.shape
+    f32 = jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    M = (row < col).astype(f32)        # L @ M = exclusive cumsum of L
+    Sh = (row == col + 1).astype(f32)  # z @ Sh = z shifted left (z_{i+1})
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+
+    z_next = _dotf(z, Sh)
+    delta = jnp.where(lane < S - 1, z_next - z, 1e10)
+    e = jnp.exp(-sig * delta)          # = 1 - alpha
+    a = 1.0 - e
+    u = e + 1e-10                      # cumprod operand, reference 1e-10 floor
+    Tacc = jnp.exp(_dotf(jnp.log(u), M))
+    w = a * Tacc                       # compositing weights
+
+    colsel = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
+    E = lambda k: (colsel == k).astype(f32)
+    out8 = (_dotf(w * c0, E(0)) + _dotf(w * c1, E(1)) + _dotf(w * c2, E(2))
+            + _dotf(w * z, E(3)) + _dotf(w, E(4)))
+    if white_bg:
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+        ones3 = jnp.where(lane8 < 3, 1.0, 0.0)
+        acc3 = _dotf(w, E(0) + E(1) + E(2))
+        out8 = out8 + ones3 - acc3
+    aux = (delta, e, u, Tacc, w, M, Sh, lane)
+    return out8, aux
+
+
+def composite_bwd_in_kernel(sig, c0, c1, c2, z, g8, aux, white_bg):
+    """Backward of :func:`composite_fwd_in_kernel` given the per-ray
+    cotangent ``g8 (T, 8)``. Returns ``(gsig, gc0, gc1, gc2, dz)`` — the
+    (T, S) f32 cotangents of the sigma plane, the three rgb planes and the
+    depth samples (the composite's own dz term; the caller adds the xyz
+    expansion term)."""
+    delta, e, u, Tacc, w, M, Sh, lane = aux
+    S = z.shape[1]
+    gr, gg, gb = g8[:, 0:1], g8[:, 1:2], g8[:, 2:3]   # (T, 1)
+    gd, ga = g8[:, 3:4], g8[:, 4:5]
+    resid = ga - (gr + gg + gb if white_bg else 0.0)  # white bg: d acc
+    dw = gr * c0 + gg * c1 + gb * c2 + gd * z + resid
+    # dT_i = a_i dw_i; dC_i = T_i dT_i = w_i dw_i; dL_j = sum_{i>j} dC_i
+    dL = _dotf_t(w * dw, M)
+    dx = e * (Tacc * dw - dL / u)      # x = sig * delta
+    gsig = dx * delta
+    ddelta = jnp.where(lane < S - 1, dx * sig, 0.0)
+    # delta_i = z_{i+1} - z_i  =>  dz_i = ddelta_{i-1} - ddelta_i
+    dz = gd * w + _dotf_t(ddelta, Sh) - ddelta
+    return gsig, w * gr, w * gg, w * gb, dz
+
+
 def _kernel(cfg: NetConfig, S: int,
             ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
             peA_ref, peid_ref, pesin_ref, pecos_ref,
@@ -136,6 +215,11 @@ def _kernel(cfg: NetConfig, S: int,
                   w_sig, b_sig, w_encv, b_encv, (w_tex_j, b_tex_j)*,
                   w_rgbh, b_rgbh, w_rgbo, b_rgbo,
                   sig_out, r_out, g_out, b_out]   # (T, S) f32 each
+
+    (Volume rendering deliberately does NOT run here: composing it
+    per-16/32-ray tile serializes small (S, S) matmuls between the big
+    layer matmuls — measured +5 ms/step vs the separate fat-tile
+    composite kernel in ops/pallas_composite.py.)
     """
     import jax.nn as jnn
 
@@ -196,8 +280,8 @@ def _kernel(cfg: NetConfig, S: int,
     rgb = dot(y, w_rgb) + b_rgb               # (P, 8) f32
 
     T = _TILE_RAYS
-    sig_out[...] = sigma.reshape(T, S)
     rgb3 = rgb.reshape(T, S, 8)
+    sig_out[...] = sigma.reshape(T, S)
     r_out[...] = rgb3[:, :, 0]
     g_out[...] = rgb3[:, :, 1]
     b_out[...] = rgb3[:, :, 2]

@@ -129,7 +129,8 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
                in-kernel both ways (xyz = ro + vd*z, pe = f(xyz) in the
                recompute; d_xyz = J_pe^T d_pe then d_ro/d_vd/d_z at the
                end, exact, f32) — nothing (R*S, small)-shaped ever touches
-               HBM.
+               HBM. (The volume-rendering backward deliberately does NOT
+               run here — see ops/pallas_composite.py.)
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -316,6 +317,7 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
                             memory_space=pltpu.VMEM)
 
     pe_ops = fused_mlp.pe_const_operands(cfg.num_xyz_freq)
+    g_specs = [tile_spec((T, S), lambda i: (i, 0))] * 4
     in_specs = [
         tile_spec((T, 8), lambda i: (i, 0)),                 # ro8
         tile_spec((T, 8), lambda i: (i, 0)),                 # vd8
@@ -323,7 +325,7 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
         tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
-    ] + [tile_spec((T, S), lambda i: (i, 0))] * 4 \
+    ] + g_specs \
       + [const_spec(c.shape) for c in pe_ops] \
       + [const_spec(x.shape) for x in wops]
 
@@ -410,6 +412,33 @@ def make_fused_train_op(cfg: NetConfig):
     return op
 
 
+def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True):
+    """Fully-fused training op: same operands as
+    :func:`make_fused_train_op` but returning a single per-ray ``(R, 8)``
+    f32 array ``[r | g | b | depth | acc | pad]`` — the volume rendering
+    runs in the fat-tile Pallas composite op (ops/pallas_composite.py)
+    chained after the plane kernels, so the loss talks to the op purely
+    per-ray and no (R, S) COTANGENT plane is ever built by XLA.
+
+    (Round-2 measurement: running the composite inside the MLP kernels
+    themselves was 5 ms/step SLOWER — per-16-ray-tile (S, S) matmuls
+    serialize between the layer matmuls; the separate 512-ray-tile
+    composite kernel costs ~0.3 ms. Composite math matches
+    ``core/render.py::composite``, reference ``src/utils.py:34-47``.)
+    Only the coarse-only path uses this op (hierarchical sampling needs
+    the weights plane)."""
+    from codenerf_tpu.ops.pallas_composite import make_composite_op
+
+    plane_op = make_fused_train_op(cfg)
+    comp_op = make_composite_op(white_bg=white_bg)
+
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return comp_op(sig, r, g, b, z)
+
+    return op
+
+
 def fused_apply_train(
     params,
     cfg: NetConfig,
@@ -432,3 +461,31 @@ def fused_apply_train(
         op = make_fused_train_op(cfg)
     sigmas, r, g, b = op(ro8, vd8, z_vals, sproj, tproj, vcontrib, *wflat)
     return sigmas, (r, g, b)
+
+
+def fused_render_train(
+    params,
+    cfg: NetConfig,
+    ray_o: jnp.ndarray,        # (R, 3)
+    viewdir: jnp.ndarray,      # (R, 3)
+    z_vals: jnp.ndarray,       # (R, S)
+    shape_code: jnp.ndarray,   # (R, D) or (D,)
+    texture_code: jnp.ndarray,
+    op=None,
+    white_bg: bool = True,
+):
+    """Differentiable fully-Pallas render: the plane MLP kernels chained
+    into the fat-tile composite kernel (ops/pallas_composite.py). Returns a
+    ``core.render.RenderOutput`` whose rgb/depth/acc come straight out of
+    the kernels (``weights`` is None — coarse-only training doesn't need
+    the plane, and not emitting it is the point)."""
+    from codenerf_tpu.core.render import RenderOutput
+
+    ro8, vd8, z_vals, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+        params, cfg, ray_o, viewdir, z_vals, shape_code, texture_code)
+    wflat = flatten_params_f32(params, cfg)
+    if op is None:
+        op = make_fused_train_composite_op(cfg, white_bg=white_bg)
+    out8 = op(ro8, vd8, z_vals, sproj, tproj, vcontrib, *wflat)
+    return RenderOutput(rgb=out8[:, :3], depth=out8[:, 3], acc=out8[:, 4],
+                        weights=None)

@@ -96,6 +96,7 @@ def render_rays(
     fine_params=None,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     apply_fn=None,
+    composite_fn=None,
     occ_grid=None,
 ) -> RenderResult:
     """Render a batch of rays.
@@ -113,11 +114,22 @@ def render_rays(
            tuple of three (R, S) channel planes — used to swap in the
            fused Pallas kernels (which expand xyz and composite in the
            TPU-native plane layout); defaults to the XLA ``apply_codenerf``.
+      composite_fn: optional FULLY-fused evaluation: same signature but
+           returning a finished ``RenderOutput`` (MLP + volume rendering in
+           one op, ``ops/fused_train.fused_render_train``). Its ``weights``
+           may be None, so it is coarse-only — incompatible with
+           ``rcfg.n_importance > 0``.
       occ_grid: optional :class:`core.occupancy.OccupancyGrid` — per-ray
            [t0, t1] tightens to the occupied span (empty-space skipping
            beyond the bounding sphere; ``rcfg.occ_probes`` probes/ray).
     """
     R = ray_o.shape[0]
+    if composite_fn is not None and rcfg.n_importance > 0:
+        raise ValueError(
+            "composite_fn (fused in-kernel volume rendering) does not emit "
+            "the weights plane hierarchical sampling needs; use apply_fn "
+            "with n_importance > 0"
+        )
     deterministic = key is None
     # Per-ray bounds: tighten [near, far] to the object's bounding sphere so
     # the fixed sample budget lands on the object (shared_jitter is by
@@ -160,6 +172,10 @@ def render_rays(
             z_coarse = jnp.broadcast_to(z_coarse, (R, rcfg.n_samples))
 
     def eval_and_composite(p, z_vals):
+        if composite_fn is not None:
+            z2d = jnp.broadcast_to(z_vals, (R, z_vals.shape[-1]))
+            return composite_fn(p, net_cfg, ray_o, viewdir, z2d,
+                                shape_code, texture_code)
         if apply_fn is not None:
             z2d = jnp.broadcast_to(z_vals, (R, z_vals.shape[-1]))
             sigmas, rgbs = apply_fn(p, net_cfg, ray_o, viewdir, z2d,

@@ -128,6 +128,7 @@ def build_train_step(
     compute_dtype = resolve_dtype(hp.compute_dtype)
 
     apply_fn = None
+    composite_fn = None
     if hp.use_fused_train:
         from codenerf_tpu.ops import fused_train as ft
 
@@ -170,7 +171,15 @@ def build_train_step(
                     f"rays/step(/device)={step_rays}, samples={s})"
                 )
 
-        _op = ft.make_fused_train_op(net_cfg)
+        # Coarse-only training uses the FULLY-fused op (volume rendering
+        # inside the kernels, per-ray op boundary); hierarchical sampling
+        # needs the weights plane, so it keeps the plane-output op.
+        fuse_composite = hp.fused_composite and rcfg.n_importance == 0
+        if fuse_composite:
+            _op = ft.make_fused_train_composite_op(
+                net_cfg, white_bg=rcfg.white_bg)
+        else:
+            _op = ft.make_fused_train_op(net_cfg)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -179,17 +188,26 @@ def build_train_step(
             batch_axes = tuple(ax for ax in ("replica", "data")
                                if ax in mesh.axis_names)
             n_w = 2 * len(ft._weight_shapes(net_cfg))
+            n_out = 1 if fuse_composite else 4
             kw = dict(mesh=mesh,
                       in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
-                      out_specs=(P(batch_axes),) * 4)
+                      out_specs=(P(batch_axes),) * n_out)
+            if fuse_composite:
+                kw["out_specs"] = P(batch_axes)
             try:
                 _op = _shard_map(_op, check_vma=False, **kw)
             except TypeError:  # pre-0.9 jax spells it check_rep
                 _op = _shard_map(_op, check_rep=False, **kw)
 
-        def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
-            return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
-                                        s_code, t_code, op=_op)
+        if fuse_composite:
+            def composite_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
+                return ft.fused_render_train(
+                    p, cfg, ray_o, viewdir, z_vals, s_code, t_code, op=_op,
+                    white_bg=rcfg.white_bg)
+        else:
+            def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
+                return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
+                                            s_code, t_code, op=_op)
 
     def loss_fn(trainables, batch: Batch, key: jax.Array):
         shape_code = trainables["shape_codes"][batch["obj"]]
@@ -201,6 +219,7 @@ def build_train_step(
             fine_params=trainables.get("fine_params"),
             compute_dtype=compute_dtype,
             apply_fn=apply_fn,
+            composite_fn=composite_fn,
         )
         mse = jnp.mean((res.final.rgb - batch["rgb"]) ** 2)
         loss = mse

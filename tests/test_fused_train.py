@@ -115,13 +115,97 @@ def test_fused_train_flagship_architecture():
     assert cos > 0.99, cos
 
 
+@pytest.mark.parametrize("white_bg", [True, False])
+def test_pallas_composite_op_matches_xla(white_bg):
+    """The fat-tile composite kernel vs core.render.composite: values and
+    all five input cotangents, on its own (no MLP)."""
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.ops.pallas_composite import make_composite_op
+
+    R, S = 48, 24  # 48 exercises the non-power-of-two tile pick (16)
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    sig = jax.random.uniform(ks[0], (R, S), jnp.float32, 0.0, 40.0)
+    c0 = jax.random.uniform(ks[1], (R, S))
+    c1 = jax.random.uniform(ks[2], (R, S))
+    c2 = jax.random.uniform(ks[3], (R, S))
+    z = jnp.sort(jax.random.uniform(ks[4], (R, S), jnp.float32, 0.5, 2.0), -1)
+    g8 = jax.random.normal(ks[5], (R, 8))
+    op = make_composite_op(white_bg=white_bg)
+
+    def scalar_pallas(sig, c0, c1, c2, z):
+        return jnp.sum(op(sig, c0, c1, c2, z)[:, :5] * g8[:, :5])
+
+    def scalar_xla(sig, c0, c1, c2, z):
+        out = composite(sig, (c0, c1, c2), z, white_bg=white_bg)
+        packed = jnp.concatenate(
+            [out.rgb, out.depth[:, None], out.acc[:, None]], axis=-1)
+        return jnp.sum(packed * g8[:, :5])
+
+    args = (sig, c0, c1, c2, z)
+    np.testing.assert_allclose(float(scalar_pallas(*args)),
+                               float(scalar_xla(*args)), rtol=1e-5)
+    gp = jax.grad(scalar_pallas, argnums=(0, 1, 2, 3, 4))(*args)
+    gx = jax.grad(scalar_xla, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(["sig", "c0", "c1", "c2", "z"], gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_fused_composite_values_and_grads():
+    """The FULLY-fused op (volume rendering in-kernel, per-ray boundary)
+    against f32 XLA truth: values must match to f32-composite rounding and
+    every gradient must be at least as close to f32 truth as the bf16 XLA
+    path. Depth and acc outputs (and their cotangents) are exercised."""
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.ops.fused_train import fused_render_train
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 24
+    ro, vd, z, sc, tc, _, _ = _setup(cfg, R, S)
+    tgt = jax.random.uniform(jax.random.PRNGKey(9), (R, 3))
+
+    def mk_loss(kind, dtype=None):
+        def loss(p, sc, tc, ro, vd, z):
+            if kind == "fused":
+                out = fused_render_train(p, cfg, ro, vd, z, sc, tc)
+            else:
+                xyz = ro[:, None, :] + vd[:, None, :] * z[..., None]
+                s, r = apply_codenerf(p, cfg, xyz, vd, sc, tc,
+                                      compute_dtype=dtype)
+                out = composite(s, r, z, white_bg=True)
+            return (jnp.mean((out.rgb - tgt) ** 2)
+                    + 1e-3 * jnp.sum(out.depth) + 1e-3 * jnp.sum(out.acc))
+        return loss
+
+    args = (params, sc, tc, ro, vd, z)
+    l32 = float(mk_loss("xla", jnp.float32)(*args))
+    lfu = float(mk_loss("fused")(*args))
+    assert abs(lfu - l32) < 1e-4 * max(1.0, abs(l32))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    g32 = jax.grad(mk_loss("xla", jnp.float32), argnums)(*args)
+    g16 = jax.grad(mk_loss("xla", jnp.bfloat16), argnums)(*args)
+    gfu = jax.grad(mk_loss("fused"), argnums)(*args)
+    for name, a32, a16, afu in zip(
+        ["params", "shape_codes", "texture_codes", "ro", "vd", "z"],
+        g32, g16, gfu
+    ):
+        v32, v16, vfu = _flat(a32), _flat(a16), _flat(afu)
+        nrm = float(jnp.linalg.norm(v32)) + 1e-12
+        rel_xla = float(jnp.linalg.norm(v16 - v32)) / nrm
+        rel_fused = float(jnp.linalg.norm(vfu - v32)) / nrm
+        assert rel_fused <= rel_xla * 1.5 + 1e-5, (name, rel_fused, rel_xla)
+
+
 def test_availability_rules():
     assert fused_train_available(NetConfig(), 4096, 96)
     assert not fused_train_available(NetConfig(W=192), 4096, 96)
     assert not fused_train_available(NetConfig(), 100, 96)  # not divisible
 
 
-def _fused_hparams(n_samples=8, use_fused=True, near=0.5, far=2.0):
+def _fused_hparams(n_samples=8, use_fused=True, near=0.5, far=2.0,
+                   fused_composite=True):
     from codenerf_tpu.config import Hparams, LrSchedule, RenderConfig
 
     return Hparams(
@@ -131,6 +215,7 @@ def _fused_hparams(n_samples=8, use_fused=True, near=0.5, far=2.0):
         lr_codes=LrSchedule(lr=5e-3, interval=100_000),
         check_points=0,
         use_fused_train=use_fused,
+        fused_composite=fused_composite,
     )
 
 
@@ -153,30 +238,43 @@ def _step_setup(hp, batch_rays, seed=0):
     return state, step_fn, pipe
 
 
-def test_use_fused_train_flag_changes_program(monkeypatch):
+@pytest.mark.parametrize("composite", [False, True])
+def test_use_fused_train_flag_changes_program(monkeypatch, composite):
     """Regression for the round-1 dead-code bug: with use_fused_train the
     jitted step must actually trace through the fused op (the flag used to
-    build apply_fn and then silently compile the plain XLA path)."""
+    build apply_fn and then silently compile the plain XLA path). With
+    fused_composite the step must pick the per-ray composite op instead."""
     import codenerf_tpu.ops.fused_train as ft
 
-    calls = {"n": 0}
-    orig = ft.make_fused_train_op
+    calls = {"planes": 0, "composite": 0}
 
-    def spy(cfg):
-        op = orig(cfg)
+    def make_spy(orig, key):
+        def spy(cfg, **kwargs):
+            op = orig(cfg, **kwargs)
 
-        def wrapped(*args):
-            calls["n"] += 1
-            return op(*args)
+            def wrapped(*args):
+                calls[key] += 1
+                return op(*args)
 
-        return wrapped
+            return wrapped
+        return spy
 
-    monkeypatch.setattr(ft, "make_fused_train_op", spy)
-    hp = _fused_hparams()
+    monkeypatch.setattr(ft, "make_fused_train_op",
+                        make_spy(ft.make_fused_train_op, "planes"))
+    monkeypatch.setattr(ft, "make_fused_train_composite_op",
+                        make_spy(ft.make_fused_train_composite_op,
+                                 "composite"))
+    hp = _fused_hparams(fused_composite=composite)
     state, step_fn, pipe = _step_setup(hp, batch_rays=32)
     batch = pipe.sample(32)
     jax.eval_shape(step_fn, state, batch)  # trace only — no Pallas execution
-    assert calls["n"] >= 1, "fused op never traced by the train step"
+    if composite:
+        # (the composite op is BUILT FROM the plane op, so "planes" also
+        # registers a call — only the composite wrapper distinguishes)
+        assert calls["composite"] >= 1, "composite op never traced"
+    else:
+        assert calls["planes"] >= 1, "plane op never traced by the step"
+        assert calls["composite"] == 0, "composite op unexpectedly traced"
 
 
 def test_use_fused_train_validates_batch_at_build():
@@ -185,11 +283,13 @@ def test_use_fused_train_validates_batch_at_build():
         _step_setup(hp, batch_rays=100)  # 100 % 32 != 0
 
 
-def test_fused_train_step_matches_xla_training():
+@pytest.mark.parametrize("composite", [False, True])
+def test_fused_train_step_matches_xla_training(composite):
     """A short real training run (interpret-mode kernels): the fused step's
-    loss trajectory must track the XLA bf16 step's. Gradient closeness is
+    loss trajectory must track the XLA bf16 step's — for both the
+    plane-output op and the fully-fused composite op. Gradient closeness is
     proven at op level above; this proves the integrated optimizer loop."""
-    hp_f = _fused_hparams(use_fused=True)
+    hp_f = _fused_hparams(use_fused=True, fused_composite=composite)
     hp_x = _fused_hparams(use_fused=False)
     state_f, step_f, pipe = _step_setup(hp_f, batch_rays=32)
     state_x, step_x, _ = _step_setup(hp_x, batch_rays=32)
