@@ -40,6 +40,7 @@ _EXTENSION_KEYS = {
     "seed",
     "use_fused_train",
     "fused_composite",
+    "train_occupancy",
     "bound_sphere_radius",
     "reference_quirks",
 }
@@ -98,6 +99,38 @@ class RenderConfig:
     # (core/occupancy.py), used when an OccupancyGrid is passed to the
     # renderer.
     occ_probes: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainOccupancyConfig:
+    """Occupancy-grid-driven sampling during TRAINING (extension; the
+    reference samples one global slab per ray, ``src/utils.py:21-32``).
+
+    A single CATEGORY-LEVEL density grid is maintained on-device: every
+    ``update_every`` steps the model's sigma is evaluated at the grid cell
+    centers for ``codes_per_update`` objects' codes (round-robin over the
+    table) and folded in as ``density = max(decay * density, new_sigma)``
+    — cells only stay occupied while some object keeps density there
+    (NerfAcc-style EMA, arXiv 2210.04847, recast shape-static for XLA).
+    The thresholded + dilated + sphere-masked binary grid then tightens
+    every training ray's [t0, t1] to the occupied span
+    (``core/occupancy.py::ray_grid_bounds``), so a reduced ``N_samples``
+    budget lands on surfaces. Before ``warmup`` steps (untrained density)
+    the grid is all-occupied — sampling equals the plain bounded slab.
+
+    ``radius`` is the grid half-extent (and sphere mask); None uses
+    ``RenderConfig.bound_sphere_radius``. Incompatible with
+    ``shared_jitter`` (one global jitter vector cannot have per-ray
+    bounds)."""
+
+    grid_size: int = 64
+    update_every: int = 500
+    warmup: int = 2000
+    codes_per_update: int = 8
+    sigma_threshold: float = 0.01
+    dilate: int = 1
+    decay: float = 0.99
+    radius: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,6 +203,8 @@ class Hparams:
     # boundary — no (rays, samples) plane ever reaches HBM). Off = keep
     # the plane-output kernels + XLA composite (A/B and debugging).
     fused_composite: bool = True
+    # Occupancy-grid-driven training-time sampling (extension); None = off.
+    train_occupancy: Optional[TrainOccupancyConfig] = None
     quirks: ReferenceQuirks = dataclasses.field(default_factory=ReferenceQuirks)
     raw: Optional[Dict[str, Any]] = None
 
@@ -200,6 +235,10 @@ class Hparams:
             "seed": self.seed,
             "use_fused_train": self.use_fused_train,
             "fused_composite": self.fused_composite,
+            "train_occupancy": (
+                dataclasses.asdict(self.train_occupancy)
+                if self.train_occupancy is not None else None
+            ),
             "reference_quirks": dataclasses.asdict(self.quirks),
         }
         return d
@@ -249,6 +288,10 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
         seed=int(cfg.get("seed", 0)),
         use_fused_train=bool(cfg.get("use_fused_train", False)),
         fused_composite=bool(cfg.get("fused_composite", True)),
+        train_occupancy=(
+            TrainOccupancyConfig(**cfg["train_occupancy"])
+            if cfg.get("train_occupancy") is not None else None
+        ),
         quirks=ReferenceQuirks(**cfg.get("reference_quirks", {})),
         raw=dict(cfg),
     )

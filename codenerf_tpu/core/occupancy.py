@@ -69,19 +69,41 @@ def dilate_grid(occ: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
     return x > 0.0
 
 
-def build_occupancy_grid(
+def eval_sigma_grid(
     params,
     net_cfg,
     shape_code: jnp.ndarray,
     texture_code: jnp.ndarray,
-    G: int = 64,
-    radius: float = 1.0,
+    G: int,
+    radius: float,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Raw sigma at all G^3 cell centers for ONE object's codes:
+    (G, G, G) f32. Sigma is viewdir-independent in CodeNeRF (the sigma
+    head branches off BEFORE the viewdir injection — ``src/model.py:44-45``),
+    so one evaluation per cell is exact."""
+    from codenerf_tpu.models.codenerf import apply_codenerf
+
+    centers = grid_cell_centers(G, radius)              # (G^3, 3)
+    xyz = centers.reshape(G * G, G, 3)                  # rays=G^2, samples=G
+    viewdir = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (G * G, 3)
+    )
+    sigmas, _ = apply_codenerf(
+        params, net_cfg, xyz, viewdir, shape_code, texture_code,
+        compute_dtype=compute_dtype,
+    )
+    return sigmas.reshape(G, G, G).astype(jnp.float32)
+
+
+def grid_from_density(
+    density: jnp.ndarray,
+    radius,
     sigma_threshold: float = 0.01,
     dilate: int = 1,
-    compute_dtype=jnp.bfloat16,
     mask_radius: Optional[float] = None,
 ) -> OccupancyGrid:
-    """Evaluate sigma at all G^3 cell centers and threshold.
+    """Threshold a (G, G, G) sigma field into an :class:`OccupancyGrid`.
 
     ``sigma_threshold`` is in raw softplus-sigma units: a cell whose
     density contributes alpha < 1 - exp(-sigma * delta) ~ sigma * delta is
@@ -94,24 +116,74 @@ def build_occupancy_grid(
     occupied; the renderer composes the grid with the same bounding sphere
     (``RenderConfig.bound_sphere_radius``), so masking to it loses nothing.
     """
-    from codenerf_tpu.models.codenerf import apply_codenerf
-
-    centers = grid_cell_centers(G, radius)              # (G^3, 3)
-    xyz = centers.reshape(G * G, G, 3)                  # rays=G^2, samples=G
-    viewdir = jnp.broadcast_to(
-        jnp.asarray([0.0, 0.0, -1.0], jnp.float32), (G * G, 3)
-    )  # sigma ignores viewdir (head precedes the viewdir injection)
-    sigmas, _ = apply_codenerf(
-        params, net_cfg, xyz, viewdir, shape_code, texture_code,
-        compute_dtype=compute_dtype,
-    )
-    occ = (sigmas.reshape(G, G, G) >= sigma_threshold)
+    G = density.shape[0]
+    occ = density >= sigma_threshold
     if mask_radius is not None:
+        centers = grid_cell_centers(G, float(radius))
         r = jnp.linalg.norm(centers, axis=-1).reshape(G, G, G)
         occ = occ & (r <= mask_radius)
     if dilate > 0:
         occ = dilate_grid(occ, dilate)
     return OccupancyGrid(occ=occ, radius=jnp.asarray(radius, jnp.float32))
+
+
+def full_grid(G: int, radius) -> OccupancyGrid:
+    """All-occupied grid — ray_grid_bounds degenerates to (almost) the
+    incoming interval. Used during training warmup, before the density
+    field means anything."""
+    return OccupancyGrid(
+        occ=jnp.ones((G, G, G), bool),
+        radius=jnp.asarray(radius, jnp.float32),
+    )
+
+
+def update_density_grid(
+    density: jnp.ndarray,
+    params,
+    net_cfg,
+    shape_codes: jnp.ndarray,    # (k, D) codes of the objects to refresh
+    texture_codes: jnp.ndarray,  # (k, D)
+    radius: float,
+    decay: float = 0.99,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """EMA-union density update (NerfAcc-style, arXiv 2210.04847 recast
+    shape-static): ``density = max(decay * density, max_over_codes sigma)``.
+    Cells stay occupied only while SOME refreshed object keeps density
+    there; with round-robin code selection every object refreshes its
+    cells every ``n_objects / k`` updates, so ``decay`` must be gentle
+    enough to bridge that gap (0.99^8 = 0.92 of threshold margin)."""
+    G = density.shape[0]
+
+    def one(codes):
+        sc, tc = codes
+        return eval_sigma_grid(params, net_cfg, sc, tc, G, radius,
+                               compute_dtype=compute_dtype)
+
+    sig = jax.lax.map(one, (shape_codes, texture_codes))   # (k, G, G, G)
+    return jnp.maximum(density * decay, jnp.max(sig, axis=0))
+
+
+def build_occupancy_grid(
+    params,
+    net_cfg,
+    shape_code: jnp.ndarray,
+    texture_code: jnp.ndarray,
+    G: int = 64,
+    radius: float = 1.0,
+    sigma_threshold: float = 0.01,
+    dilate: int = 1,
+    compute_dtype=jnp.bfloat16,
+    mask_radius: Optional[float] = None,
+) -> OccupancyGrid:
+    """Evaluate sigma at all G^3 cell centers for one object and threshold
+    (render-side entry point; see :func:`grid_from_density` for the
+    semantics of ``sigma_threshold`` / ``mask_radius``)."""
+    density = eval_sigma_grid(params, net_cfg, shape_code, texture_code,
+                              G, radius, compute_dtype=compute_dtype)
+    return grid_from_density(density, radius,
+                             sigma_threshold=sigma_threshold,
+                             dilate=dilate, mask_radius=mask_radius)
 
 
 def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:

@@ -209,7 +209,20 @@ def build_train_step(
                 return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
                                             s_code, t_code, op=_op)
 
-    def loss_fn(trainables, batch: Batch, key: jax.Array):
+    use_occ = hp.train_occupancy is not None
+    if use_occ and rcfg.shared_jitter:
+        raise ValueError(
+            "train_occupancy requires per-ray sampling: shared_jitter is "
+            "one global jitter vector and cannot carry per-ray bounds"
+        )
+    if use_occ and hp.train_occupancy.radius is None \
+            and rcfg.bound_sphere_radius is None:
+        raise ValueError(
+            "train_occupancy needs a grid extent: set "
+            "train_occupancy.radius or bound_sphere_radius"
+        )
+
+    def loss_fn(trainables, batch: Batch, key: jax.Array, occ_grid=None):
         shape_code = trainables["shape_codes"][batch["obj"]]
         texture_code = trainables["texture_codes"][batch["obj"]]
         ray_o, viewdir = pixel_rays(batch["uv"], batch["focal"], batch["c2w"], H, W)
@@ -220,6 +233,7 @@ def build_train_step(
             compute_dtype=compute_dtype,
             apply_fn=apply_fn,
             composite_fn=composite_fn,
+            occ_grid=occ_grid,
         )
         mse = jnp.mean((res.final.rgb - batch["rgb"]) ** 2)
         loss = mse
@@ -242,9 +256,9 @@ def build_train_step(
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def full_grads(trainables, batch: Batch, key: jax.Array):
+    def full_grads(trainables, batch: Batch, key: jax.Array, occ_grid=None):
         if not microbatch_rays:
-            return grad_fn(trainables, batch, key)
+            return grad_fn(trainables, batch, key, occ_grid)
         B = batch["rgb"].shape[0]
         if B % microbatch_rays != 0:
             raise ValueError(
@@ -260,7 +274,7 @@ def build_train_step(
         def body(carry, xs):
             acc, m_acc = carry
             mb = {name: xs[i] for i, name in enumerate(sorted(mbs))}
-            g, m = mb_grad(trainables, mb, xs[-1])
+            g, m = mb_grad(trainables, mb, xs[-1], occ_grid)
             acc = jax.tree_util.tree_map(
                 lambda a, b: a + b.astype(jnp.float32), acc, g)
             m_acc = {name: m_acc[name] + m[name] for name in m_acc}
@@ -281,9 +295,9 @@ def build_train_step(
 
     reset_every = hp.quirks.optimizer_reset_every
 
-    def train_step(state: TrainState, batch: Batch):
+    def _step(state: TrainState, batch: Batch, occ_grid):
         rng, key = jax.random.split(state.rng)
-        grads, metrics = full_grads(state.trainables, batch, key)
+        grads, metrics = full_grads(state.trainables, batch, key, occ_grid)
         opt_state_in = state.opt_state
         if reset_every > 0:
             # Reference quirk #3: fresh Adam moments at each window start
@@ -303,5 +317,14 @@ def build_train_step(
             rng=rng,
         )
         return new_state, metrics
+
+    if use_occ:
+        # 3-arg step: the (traced) occupancy grid is per-step input so the
+        # periodic density refresh never triggers a recompile.
+        def train_step(state: TrainState, batch: Batch, occ_grid):
+            return _step(state, batch, occ_grid)
+    else:
+        def train_step(state: TrainState, batch: Batch):
+            return _step(state, batch, None)
 
     return train_step

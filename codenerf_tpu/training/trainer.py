@@ -101,10 +101,13 @@ class Trainer:
             jax.random.PRNGKey(self.hp.seed), self.hp, self.n_objects, self.tx
         )
 
+        self._init_occupancy()
         step_fn = build_train_step(self.hp, self.H, self.W, self.tx,
                                    microbatch_rays=microbatch_rays,
                                    batch_size=self.B, mesh=mesh)
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
             st_sh = state_shardings(mesh, self.state)
             b_sh = batch_sharding(mesh)
             batch_shardings = {
@@ -112,9 +115,13 @@ class Trainer:
             }
             self._batch_sharding = batch_shardings
             self.state = jax.device_put(self.state, st_sh)
+            in_sh = [st_sh, batch_shardings]
+            if self._occ is not None:
+                rep = NamedSharding(mesh, PartitionSpec())
+                in_sh.append(type(self._occ)(occ=rep, radius=rep))
             self._train_step = jax.jit(
                 step_fn,
-                in_shardings=(st_sh, batch_shardings),
+                in_shardings=tuple(in_sh),
                 out_shardings=(st_sh, None),
                 donate_argnums=0,
             )
@@ -123,6 +130,57 @@ class Trainer:
             self._train_step = jax.jit(step_fn, donate_argnums=0)
 
         self._render_fn = None
+
+    # ------------------------------------------------------ train occupancy
+    def _init_occupancy(self) -> None:
+        """Training-time occupancy-grid state (config.TrainOccupancyConfig):
+        a category-level density field refreshed from round-robin object
+        codes every ``update_every`` steps; the thresholded grid is a
+        per-step INPUT to the jitted train step (never a recompile)."""
+        self._occ = None
+        oc = self.hp.train_occupancy
+        if oc is None:
+            return
+        from codenerf_tpu.core import occupancy as occ_mod
+
+        radius = (oc.radius if oc.radius is not None
+                  else self.hp.render.bound_sphere_radius)
+        self._occ_radius = float(radius)
+        self._density = jnp.zeros((oc.grid_size,) * 3, jnp.float32)
+        self._occ = occ_mod.full_grid(oc.grid_size, self._occ_radius)
+        self._occ_cursor = 0
+        cd = resolve_dtype(self.hp.compute_dtype)
+
+        def upd(density, trainables, obj_idx):
+            d = occ_mod.update_density_grid(
+                density, trainables["params"], self.hp.net,
+                trainables["shape_codes"][obj_idx],
+                trainables["texture_codes"][obj_idx],
+                self._occ_radius, decay=oc.decay, compute_dtype=cd,
+            )
+            grid = occ_mod.grid_from_density(
+                d, self._occ_radius, sigma_threshold=oc.sigma_threshold,
+                dilate=oc.dilate, mask_radius=self._occ_radius,
+            )
+            return d, grid
+
+        self._occ_update_fn = jax.jit(upd)
+
+    def _update_occupancy(self) -> None:
+        oc = self.hp.train_occupancy
+        k = min(oc.codes_per_update, self.n_objects)
+        idx = (np.arange(k) + self._occ_cursor) % self.n_objects
+        self._occ_cursor = int((self._occ_cursor + k) % self.n_objects)
+        self._density, self._occ = self._occ_update_fn(
+            self._density, self.state.trainables, jnp.asarray(idx)
+        )
+
+    def _maybe_update_occupancy(self, next_step: int) -> None:
+        oc = self.hp.train_occupancy
+        if oc is None:
+            return
+        if next_step >= oc.warmup and next_step % oc.update_every == 0:
+            self._update_occupancy()
 
     # ------------------------------------------------------------------ ckpt
     def save_checkpoint(self) -> str:
@@ -160,6 +218,11 @@ class Trainer:
         crop_phase = start < iters_crop
         batches = self.pipeline.prefetch(self.B, crop=crop_phase)
 
+        occ_cfg = self.hp.train_occupancy
+        if occ_cfg is not None and start >= occ_cfg.warmup:
+            # Resume past warmup: the density field is rebuilt from the
+            # restored model immediately (it is not checkpointed).
+            self._update_occupancy()
         step = start
         try:
             for step in range(start, iters_all):
@@ -168,10 +231,15 @@ class Trainer:
                     batches.close()  # stop the crop-phase worker
                     batches = self.pipeline.prefetch(self.B, crop=False)
                 batch = self._put(next(batches))
-                self.state, metrics = self._train_step(self.state, batch)
+                if self._occ is not None:
+                    self.state, metrics = self._train_step(
+                        self.state, batch, self._occ)
+                else:
+                    self.state, metrics = self._train_step(self.state, batch)
                 rays_since_log += self.B
 
                 next_step = step + 1
+                self._maybe_update_occupancy(next_step)
                 if next_step % log_every == 0 or next_step == iters_all:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t_phase
@@ -217,11 +285,12 @@ class Trainer:
 
         trace_dir = trace_dir or os.path.join(self.save_dir, "profile")
         batch = self._put(self.pipeline.sample(self.B))
-        self.state, m = self._train_step(self.state, batch)  # compile first
+        occ = (self._occ,) if self._occ is not None else ()
+        self.state, m = self._train_step(self.state, batch, *occ)  # compile
         np.asarray(m["loss"])
         jax.profiler.start_trace(trace_dir)
         for _ in range(n_steps):
-            self.state, m = self._train_step(self.state, batch)
+            self.state, m = self._train_step(self.state, batch, *occ)
         np.asarray(m["loss"])  # host fetch = real device sync on axon
         jax.profiler.stop_trace()
         return trace_dir

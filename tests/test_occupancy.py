@@ -129,3 +129,121 @@ def test_build_grid_from_trained_model(trained):
     mse = float(np.mean((np.asarray(full) - np.asarray(occ_img)) ** 2))
     psnr = -10 * np.log10(max(mse, 1e-10))
     assert psnr > 25.0, f"occ render at half budget vs full: {psnr:.2f} dB"
+
+
+# ------------------------------------------------- training-time occupancy
+
+
+def test_grid_from_density_threshold_mask_dilate():
+    from codenerf_tpu.core.occupancy import full_grid, grid_from_density
+
+    G = 16
+    d = jnp.zeros((G, G, G), jnp.float32).at[8, 8, 8].set(5.0)
+    # corner cell is outside the mask sphere -> must be dropped
+    d = d.at[0, 0, 0].set(5.0)
+    grid = grid_from_density(d, radius=1.0, sigma_threshold=1.0,
+                             dilate=1, mask_radius=0.9)
+    occ = np.asarray(grid.occ)
+    assert occ[8, 8, 8] and occ[7, 7, 7] and occ[9, 9, 9]  # dilated
+    assert not occ[0, 0, 0]                                # masked out
+    assert occ.sum() == 27
+    assert np.asarray(full_grid(4, 1.0).occ).all()
+
+
+def test_update_density_grid_ema_union(monkeypatch):
+    """density = max(decay * old, max over refreshed codes) — unrefreshed
+    cells decay away, refreshed cells snap to the new sigma."""
+    from codenerf_tpu.core import occupancy as occ_mod
+
+    G = 4
+    calls = {"n": 0}
+
+    def fake_eval(params, cfg, sc, tc, G_, radius, compute_dtype=None):
+        calls["n"] += 1
+        # object identified by its first code entry: occupies one cell
+        v = jnp.zeros((G_, G_, G_), jnp.float32)
+        return v.at[sc[0].astype(jnp.int32), 0, 0].set(2.0)
+
+    monkeypatch.setattr(occ_mod, "eval_sigma_grid", fake_eval)
+    old = jnp.zeros((G, G, G), jnp.float32).at[3, 3, 3].set(1.0)
+    sc = jnp.asarray([[0.0], [1.0]])
+    new = occ_mod.update_density_grid(
+        old, params=None, net_cfg=None, shape_codes=sc, texture_codes=sc,
+        radius=1.0, decay=0.5)
+    new = np.asarray(new)
+    assert calls["n"] >= 1  # lax.map traces once; values prove both ran
+    assert new[0, 0, 0] == 2.0 and new[1, 0, 0] == 2.0  # union of codes
+    assert new[3, 3, 3] == 0.5                          # decayed, no refresh
+
+
+def test_train_occupancy_config_validation():
+    import pytest as _pytest
+
+    from codenerf_tpu.config import (
+        Hparams, LrSchedule, NetConfig, RenderConfig, TrainOccupancyConfig,
+    )
+    from codenerf_tpu.training.train_step import (
+        build_optimizer, build_train_step,
+    )
+
+    base = dict(
+        net=NetConfig(shape_blocks=1, texture_blocks=1, W=64,
+                      num_xyz_freq=4, num_dir_freq=2, latent_dim=16),
+        lr_model=LrSchedule(5e-4, 1000), lr_codes=LrSchedule(5e-3, 1000),
+        check_points=0, compute_dtype="float32",
+    )
+    hp = Hparams(render=RenderConfig(n_samples=8, shared_jitter=True),
+                 train_occupancy=TrainOccupancyConfig(radius=1.0), **base)
+    with _pytest.raises(ValueError, match="shared_jitter"):
+        build_train_step(hp, 8, 8, build_optimizer(hp))
+    hp = Hparams(render=RenderConfig(n_samples=8),
+                 train_occupancy=TrainOccupancyConfig(), **base)
+    with _pytest.raises(ValueError, match="radius"):
+        build_train_step(hp, 8, 8, build_optimizer(hp))
+
+
+def test_trainer_with_train_occupancy_converges(tmp_path):
+    """End-to-end: training with the occupancy grid enabled must update the
+    grid after warmup (some cells empty), keep converging, and tighten the
+    per-ray sampling intervals relative to the plain sphere bounds."""
+    import dataclasses as dc
+
+    from codenerf_tpu.config import (
+        Hparams, LrSchedule, NetConfig, RenderConfig, TrainOccupancyConfig,
+    )
+    from codenerf_tpu.core.rays import camera_rays, ray_sphere_bounds
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.training.trainer import Trainer
+
+    scene = synthetic_scene(n_objects=2, n_views=6, H=16, W=16, seed=3)
+    hp = Hparams(
+        net=NetConfig(shape_blocks=2, texture_blocks=1, W=64,
+                      num_xyz_freq=6, num_dir_freq=2, latent_dim=32),
+        render=RenderConfig(n_samples=16, near=scene["near"],
+                            far=scene["far"], bound_sphere_radius=1.3),
+        lr_model=LrSchedule(5e-4, 100_000), lr_codes=LrSchedule(5e-3, 100_000),
+        check_points=0, compute_dtype="float32",
+        train_occupancy=TrainOccupancyConfig(
+            grid_size=16, update_every=50, warmup=150,
+            codes_per_update=2, sigma_threshold=0.2, decay=0.9),
+    )
+    tr = Trainer("occ_train", hp, batch_size=512, dataset=scene,
+                 exps_root=str(tmp_path), check_iter=0)
+    assert np.asarray(tr._occ.occ).all()  # warmup: all-occupied
+    m = tr.training(iters_crop=0, iters_all=300, log_every=100)
+    # measured: 16.15 dB with occ vs 16.09 without at this tiny config —
+    # the grid must not hurt convergence
+    assert m["psnr"] > 15.0, m
+    occ = np.asarray(tr._occ.occ)
+    assert 0.0 < occ.mean() < 1.0, "grid never updated or degenerate"
+
+    # interval tightening: occupied span < sphere span on average
+    ro, vd = camera_rays(16, 16, float(scene["focals"][0]),
+                         jnp.asarray(scene["poses"][0, 0]))
+    t0, t1 = ray_sphere_bounds(ro, vd, hp.render.near, hp.render.far, 1.3)
+    from codenerf_tpu.core.occupancy import ray_grid_bounds
+
+    n0, n1 = ray_grid_bounds(tr._occ, ro, vd, t0, t1, n_probes=32)
+    w_sphere = float(jnp.mean(t1 - t0))
+    w_occ = float(jnp.mean(n1 - n0))
+    assert w_occ < w_sphere, (w_occ, w_sphere)
