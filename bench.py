@@ -137,14 +137,19 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     render_rays_total = n_render_dispatches * rays_per_dispatch
 
     # ---- efficient-train mode (informational): sphere-bounded sampling at
-    # a 48-sample budget (jsonfiles/srncar_bounded.json semantics).
+    # a 48-sample budget on the fused kernels (jsonfiles/srncar_occ.json
+    # semantics — measured to BEAT unbounded-96 quality at this budget with
+    # the training occupancy grid; the grid only changes z generation, so
+    # its throughput equals this bounded-48 number).
 
     hp_b = dataclasses.replace(
-        hp, render=dataclasses.replace(hp.render, n_samples=48,
-                                       bound_sphere_radius=1.4))
+        hp, use_fused_train=True,
+        render=dataclasses.replace(hp.render, n_samples=48,
+                                   bound_sphere_radius=1.4))
     state_b = create_train_state(jax.random.PRNGKey(0), hp_b,
                                  pipe.n_objects, tx)
-    step_b = jax.jit(build_train_step(hp_b, pipe.H, pipe.W, tx),
+    step_b = jax.jit(build_train_step(hp_b, pipe.H, pipe.W, tx,
+                                      batch_size=batch),
                      donate_argnums=0)
     state_b, m = step_b(state_b, batches[0])
     sync(m["loss"])

@@ -161,3 +161,49 @@ def test_trainer_with_mesh(tiny_scene, tiny_hparams, tmp_path):
                  check_iter=0)
     m = tr.training(iters_crop=0, iters_all=20, log_every=10)
     assert np.isfinite(m["loss"])
+
+
+def test_occupancy_step_with_mesh_matches_single_device(tiny_scene,
+                                                        tiny_hparams):
+    """train_occupancy under a data-parallel mesh: the occ grid rides as a
+    replicated third step input; sharded must equal single-device."""
+    from codenerf_tpu.config import TrainOccupancyConfig
+    from codenerf_tpu.core.occupancy import OccupancyGrid
+    from codenerf_tpu.data.pipeline import RayBatchPipeline
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    hp = dataclasses.replace(
+        tiny_hparams,
+        render=dataclasses.replace(tiny_hparams.render,
+                                   bound_sphere_radius=1.3),
+        train_occupancy=TrainOccupancyConfig(grid_size=8),
+    )
+    pipe = RayBatchPipeline(
+        tiny_scene["images"], tiny_scene["poses"], tiny_scene["focals"],
+        seed=9)
+    tx = build_optimizer(hp)
+    state = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    step_fn = build_train_step(hp, pipe.H, pipe.W, tx)
+    batch = pipe.sample(512)
+    # a non-trivial grid: half the cells occupied
+    occ = jnp.zeros((8, 8, 8), bool).at[:, :, :4].set(True)
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.3, jnp.float32))
+
+    s1, m1 = jax.jit(step_fn)(state, batch, grid)
+
+    mesh = make_mesh(model=1)
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, PartitionSpec())
+    fn = jax.jit(step_fn,
+                 in_shardings=(st_sh, {k: b_sh for k in batch},
+                               OccupancyGrid(occ=rep, radius=rep)),
+                 out_shardings=(st_sh, None))
+    s8, m8 = fn(jax.device_put(state, st_sh),
+                jax.device_put(batch, {k: b_sh for k in batch}),
+                jax.device_put(grid, OccupancyGrid(occ=rep, radius=rep)))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    a = np.asarray(s1.trainables["params"]["enc_xyz"]["w"])
+    b = np.asarray(s8.trainables["params"]["enc_xyz"]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
