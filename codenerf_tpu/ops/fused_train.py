@@ -116,14 +116,16 @@ def flatten_params_f32(params, cfg: NetConfig) -> List[jnp.ndarray]:
     return out
 
 
-def _bwd_kernel(cfg: NetConfig, S: int, *refs):
+def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
+                input_grads: bool, *refs):
     """Backward kernel body. Ref order:
       in:      ro8 (T,8), vd8 (T,8), z (T,S), sproj, tproj, vcontrib,
                gsig, gr, gg, gb (T,S cotangent planes),
                peA, m_id, m_sin, m_cos, (w_i, b_i)* — 2-D weights are bf16
                (cast once in XLA), 1-D weights and biases f32
-      out:     d_ro8 (T,8), d_vd8 (T,8), d_z (T,S), d_sproj, d_tproj,
-               d_vcontrib, (dw_i, db_i)* — the (dw, db) blocks have
+      out:     [input_grads: d_ro8 (T,8), d_vd8 (T,8), d_z (T,S)],
+               d_sproj, d_tproj, d_vcontrib,
+               [weight_grads: (dw_i, db_i)*] — the (dw, db) blocks have
                constant index maps and act as VMEM accumulators across the
                grid. The xyz expansion AND the positional encoding run
                in-kernel both ways (xyz = ro + vd*z, pe = f(xyz) in the
@@ -131,6 +133,13 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
                end, exact, f32) — nothing (R*S, small)-shaped ever touches
                HBM. (The volume-rendering backward deliberately does NOT
                run here — see ops/pallas_composite.py.)
+
+    ``weight_grads=False`` (test-time CODE optimization: model frozen,
+    reference ``src/optimizer.py:195-198``) drops every dW/db accumulation
+    — one of the three W×W matmuls per layer — and the f32 accumulator
+    blocks; ``input_grads=False`` additionally stops the dx chain after
+    the first shape block (no enc_xyz backward, no PE Jacobian, no
+    d_ro/d_vd/d_z), since codes only feed sproj/tproj/vcontrib.
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -148,17 +157,21 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
      gsig_ref, gr_ref, gg_ref, gb_ref) = refs[:10]
     peA_ref, peid_ref, pesin_ref, pecos_ref = refs[10:14]
     w_refs = refs[14:14 + 2 * k]
-    (d_ro_ref, d_vd_ref, d_z_ref, d_sproj_ref, d_tproj_ref,
-     d_vcontrib_ref) = refs[14 + 2 * k:20 + 2 * k]
-    dwb_refs = refs[20 + 2 * k:20 + 4 * k]
+    out_refs = list(refs[14 + 2 * k:])
+    if input_grads:
+        d_ro_ref, d_vd_ref, d_z_ref = out_refs[:3]
+        out_refs = out_refs[3:]
+    d_sproj_ref, d_tproj_ref, d_vcontrib_ref = out_refs[:3]
+    dwb_refs = out_refs[3:]
 
     i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _init():
-        for j, (name, wshape, bshape) in enumerate(names):
-            dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
-            dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
+    if weight_grads:
+        @pl.when(i == 0)
+        def _init():
+            for j, (name, wshape, bshape) in enumerate(names):
+                dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
+                dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
 
     def w(name):
         return w_refs[2 * idx_of[name]][...]
@@ -238,6 +251,8 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
             + jnp.where(lane == 2, gb_ref[...][:, :, None], 0.0))
 
     def acc(name, x, gh):
+        if not weight_grads:
+            return
         j = idx_of[name]
         dwb_refs[2 * j][...] += dot_acc(x, gh)
         dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
@@ -264,11 +279,12 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
     dsig = g_sigma * jnn.sigmoid(sig_pre)    # (T, S) f32
     g_t = (g_t.reshape(T, S, W)
            + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
-    jsig = idx_of["sigma"]
-    t_dsig = (t.astype(f32).reshape(T, S, W)
-              * dsig[:, :, None]).reshape(P, W)
-    dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
-    dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
+    if weight_grads:
+        jsig = idx_of["sigma"]
+        t_dsig = (t.astype(f32).reshape(T, S, W)
+                  * dsig[:, :, None]).reshape(P, W)
+        dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
+        dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
     gh = g_t.astype(bf16)                    # enc_shape is linear
     acc("enc_shape", t_in, gh)
     g_cur = dot_t(gh, w("enc_shape"))
@@ -278,21 +294,24 @@ def _bwd_kernel(cfg: NetConfig, S: int, *refs):
         acc(f"shape_{j}", xj, gh)
         g_cur = dot_t(gh, w(f"shape_{j}"))
         d_sproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
-    gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
-    acc("enc_xyz", pe, gh)
-    d_pe = dot_t(gh, w("enc_xyz"))                        # (P, 64) f32
-    dpe_dt = m_id + m_sin * jnp.cos(t_pe) - m_cos * jnp.sin(t_pe)
-    d_xyz8 = jax.lax.dot_general(
-        d_pe * dpe_dt, peA,
-        (((1,), (1,)), ((), ())), preferred_element_type=f32)  # @ A^T
-    d_xyz3 = d_xyz8.reshape(T, S, 8)
-    d_z_ref[...] = jnp.sum(d_xyz3 * vd8[:, None, :], axis=-1)  # (T, S)
-    d_ro_ref[...] = jnp.sum(d_xyz3, axis=1)                    # (T, 8)
-    d_vd_ref[...] = jnp.sum(d_xyz3 * z[:, :, None], axis=1)    # (T, 8)
+    if weight_grads or input_grads:
+        gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
+        acc("enc_xyz", pe, gh)
+    if input_grads:
+        d_pe = dot_t(gh, w("enc_xyz"))                        # (P, 64) f32
+        dpe_dt = m_id + m_sin * jnp.cos(t_pe) - m_cos * jnp.sin(t_pe)
+        d_xyz8 = jax.lax.dot_general(
+            d_pe * dpe_dt, peA,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # @ A^T
+        d_xyz3 = d_xyz8.reshape(T, S, 8)
+        d_z_ref[...] = jnp.sum(d_xyz3 * vd8[:, None, :], axis=-1)  # (T, S)
+        d_ro_ref[...] = jnp.sum(d_xyz3, axis=1)                    # (T, 8)
+        d_vd_ref[...] = jnp.sum(d_xyz3 * z[:, :, None], axis=1)    # (T, 8)
 
 
 def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
-                vcontrib, wflat, g_planes):
+                vcontrib, wflat, g_planes, weight_grads: bool = True,
+                input_grads: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -329,33 +348,43 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
       + [const_spec(c.shape) for c in pe_ops] \
       + [const_spec(x.shape) for x in wops]
 
-    out_shape = [
-        jax.ShapeDtypeStruct((R, 8), f32),                          # d_ro8
-        jax.ShapeDtypeStruct((R, 8), f32),                          # d_vd8
-        jax.ShapeDtypeStruct((R, S), f32),                          # d_z
+    out_shape = []
+    out_specs = []
+    if input_grads:
+        out_shape += [
+            jax.ShapeDtypeStruct((R, 8), f32),                      # d_ro8
+            jax.ShapeDtypeStruct((R, 8), f32),                      # d_vd8
+            jax.ShapeDtypeStruct((R, S), f32),                      # d_z
+        ]
+        out_specs += [
+            tile_spec((T, 8), lambda i: (i, 0)),
+            tile_spec((T, 8), lambda i: (i, 0)),
+            tile_spec((T, S), lambda i: (i, 0)),
+        ]
+    out_shape += [
         jax.ShapeDtypeStruct((R, cfg.shape_blocks, W), bf16),       # d_sproj
         jax.ShapeDtypeStruct((R, cfg.texture_blocks, W), bf16),     # d_tproj
         jax.ShapeDtypeStruct((R, W), bf16),                         # d_vcontrib
     ]
-    out_specs = [
-        tile_spec((T, 8), lambda i: (i, 0)),
-        tile_spec((T, 8), lambda i: (i, 0)),
-        tile_spec((T, S), lambda i: (i, 0)),
+    out_specs += [
         tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
     ]
-    for name, wshape, bshape in names:
-        out_shape += [jax.ShapeDtypeStruct(wshape, f32),
-                      jax.ShapeDtypeStruct(bshape, f32)]
-        out_specs += [const_spec(wshape), const_spec(bshape)]
+    if weight_grads:
+        for name, wshape, bshape in names:
+            out_shape += [jax.ShapeDtypeStruct(wshape, f32),
+                          jax.ShapeDtypeStruct(bshape, f32)]
+            out_specs += [const_spec(wshape), const_spec(bshape)]
 
-    # FLOPs: ~3x the forward (recompute + dx + dW chains).
-    flops_per_tile = 3 * 2 * P * W * (
+    # FLOPs: ~3x the forward (recompute + dx + dW chains); the dW chain —
+    # one of the three W-square matmuls per layer — is absent in
+    # codes-only mode.
+    flops_per_tile = (3 if weight_grads else 2) * 2 * P * W * (
         64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
     )
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg, S),
+        functools.partial(_bwd_kernel, cfg, S, weight_grads, input_grads),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -430,6 +459,63 @@ def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True):
     from codenerf_tpu.ops.pallas_composite import make_composite_op
 
     plane_op = make_fused_train_op(cfg)
+    comp_op = make_composite_op(white_bg=white_bg)
+
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return comp_op(sig, r, g, b, z)
+
+    return op
+
+
+def make_fused_codes_op(cfg: NetConfig):
+    """Codes-only fused op for TEST-TIME optimization: same operands and
+    forward as :func:`make_fused_train_op`, but the backward kernel computes
+    cotangents ONLY for the per-ray code operands (sproj, tproj, vcontrib) —
+    the model is frozen in this phase (reference ``src/optimizer.py:195-198``),
+    so the dW accumulation (one of the three W-square matmuls per layer, plus
+    the f32 W×W VMEM accumulator blocks) and the enc_xyz/PE/xyz input chain
+    are skipped in-kernel. Cotangents for ro8/vd8/z and the weights are
+    returned as zeros (XLA dead-code-eliminates them when, as in codes
+    optimization, nothing consumes them)."""
+
+    @jax.custom_vjp
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+
+    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        R, S = z.shape
+        wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
+        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
+                                    vcontrib, wb)
+
+    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
+
+    def bwd_rule(res, g):
+        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
+        R, S = z.shape
+        g_planes = tuple(x.astype(jnp.float32) for x in g)
+        d_sproj, d_tproj, d_vcontrib = _invoke_bwd(
+            cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib, wflat, g_planes,
+            weight_grads=False, input_grads=False)
+        return (jnp.zeros_like(ro8), jnp.zeros_like(vd8), jnp.zeros_like(z),
+                d_sproj, d_tproj, d_vcontrib,
+                *(jnp.zeros_like(w) for w in wflat))
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op
+
+
+def make_fused_codes_composite_op(cfg: NetConfig, white_bg: bool = True):
+    """Codes-only analog of :func:`make_fused_train_composite_op`: the
+    codes-only plane op chained into the fat-tile Pallas composite
+    (per-ray ``(R, 8)`` boundary). For the coarse-only codes-optimization
+    loss."""
+    from codenerf_tpu.ops.pallas_composite import make_composite_op
+
+    plane_op = make_fused_codes_op(cfg)
     comp_op = make_composite_op(white_bg=white_bg)
 
     def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):

@@ -60,6 +60,59 @@ def _chunked(x: jnp.ndarray, chunk: int, n_padded: int):
     return pad_rays(x, n_padded).reshape(-1, chunk, *x.shape[1:])
 
 
+def build_fused_codes_fns(hp: Hparams, chunk: int, *,
+                          use_fused: Optional[bool] = None):
+    """Resolve the fused-kernel configuration for codes-only optimization.
+
+    Returns ``(apply_fn, composite_fn)`` for :func:`renderer.render_rays`
+    — both ``None`` when the XLA path should run. ``use_fused=None``
+    defers to ``hp.use_fused_train`` and quietly falls back to XLA when
+    the architecture/chunk can't tile; ``use_fused=True`` raises instead.
+    The ops are the CODES-ONLY variants (``ops/fused_train
+    .make_fused_codes_op``): their backward kernel skips the dW
+    accumulation and input chains the frozen-model phase never needs."""
+    from codenerf_tpu.ops import fused_train as ft
+
+    net_cfg, rcfg = hp.net, hp.render
+    explicit = use_fused is True
+    if use_fused is None:
+        use_fused = hp.use_fused_train
+    if not use_fused:
+        return None, None
+    sample_counts = [rcfg.n_samples]
+    if rcfg.n_importance > 0:
+        sample_counts.append(rcfg.n_samples + rcfg.n_importance)
+    ok = all(ft.fused_train_available(net_cfg, chunk, s)
+             for s in sample_counts)
+    if not ok:
+        if explicit:
+            raise ValueError(
+                "use_fused=True but the fused kernels can't tile this "
+                f"problem (W={net_cfg.W}, chunk={chunk}, "
+                f"samples={sample_counts})")
+        return None, None
+
+    fuse_composite = hp.fused_composite and rcfg.n_importance == 0
+    if fuse_composite:
+        _op = ft.make_fused_codes_composite_op(net_cfg,
+                                               white_bg=rcfg.white_bg)
+
+        def composite_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
+            return ft.fused_render_train(p, cfg, ray_o, viewdir, z_vals,
+                                         s_code, t_code, op=_op,
+                                         white_bg=rcfg.white_bg)
+
+        return None, composite_fn
+
+    _op = ft.make_fused_codes_op(net_cfg)
+
+    def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
+        return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
+                                    s_code, t_code, op=_op)
+
+    return apply_fn, None
+
+
 def optimize_codes(
     params,
     hp: Hparams,
@@ -75,19 +128,26 @@ def optimize_codes(
     chunk: int = 4096,
     fine_params=None,
     reference_resets: bool = False,
+    use_fused: Optional[bool] = None,
 ) -> OptimizationResult:
     """Optimize one object's codes against flat target rays. Fully jitted.
 
     ``reference_resets=True`` reproduces the reference quirk of rebuilding
     the AdamW optimizer (zeroing its moments) at every lr halving
     (``src/optimizer.py:104-105``, SURVEY §2.3 #3); the lr curve itself is
-    identical either way since halvings align with the reset windows."""
+    identical either way since halvings align with the reset windows.
+
+    ``use_fused`` (default: ``hp.use_fused_train``) runs each step's
+    forward+backward through the codes-only fused Pallas kernels."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     from codenerf_tpu.renderer import chunk_plan
 
     n_rays = ray_o.shape[0]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
+    apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
+                                                   use_fused=use_fused)
+    fused = apply_fn is not None or composite_fn is not None
     ro_c = _chunked(ray_o, chunk, n_padded)
     vd_c = _chunked(viewdir, chunk, n_padded)
     gt_c = _chunked(gt_rgb, chunk, n_padded)
@@ -108,6 +168,7 @@ def optimize_codes(
             res = render_rays(
                 params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
                 fine_params=fine_params, compute_dtype=compute_dtype,
+                apply_fn=apply_fn, composite_fn=composite_fn,
             )
             se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
             if res.fine is not None:
@@ -115,8 +176,13 @@ def optimize_codes(
             return carry + se, None
 
         keys = jax.random.split(step_key, ro_c.shape[0])
+        # The XLA path needs remat to bound the saved (chunk, S, W)
+        # activations; the fused op's residuals are the per-ray operands
+        # only, so rematerializing it would just run the forward kernel
+        # twice.
         total_se, _ = jax.lax.scan(
-            jax.checkpoint(body), jnp.zeros((), jnp.float32),
+            body if fused else jax.checkpoint(body),
+            jnp.zeros((), jnp.float32),
             (ro_c, vd_c, gt_c, mask_c, keys),
         )
         mse = total_se / (n_rays * 3.0)
@@ -175,6 +241,9 @@ class CodeOptimizer:
     fine_params: Optional[Dict] = None
     chunk: int = 4096
     reference_resets: bool = False
+    # None defers to hp.use_fused_train (with automatic XLA fallback when
+    # the architecture/chunk can't tile); True forces, False disables.
+    use_fused: Optional[bool] = None
 
     def __post_init__(self):
         self._eval_fn = None
@@ -199,6 +268,7 @@ class CodeOptimizer:
             num_opts=num_opts, lr=lr, lr_half_interval=lr_half_interval,
             chunk=self.chunk, fine_params=self.fine_params,
             reference_resets=self.reference_resets,
+            use_fused=self.use_fused,
         )
 
     def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):

@@ -368,3 +368,104 @@ def test_fused_train_rejects_tensor_parallel_mesh():
     with pytest.raises(ValueError, match="replicated weights"):
         build_train_step(hp, 8, 8, tx, batch_size=256,
                          mesh=make_mesh(data=4, model=2))
+
+
+def test_fused_codes_op_grads():
+    """The codes-only op (backward skips dW accumulation and the input
+    chain) must produce code gradients matching the full op and be at
+    least as close to f32 truth as the XLA bf16 path."""
+    from codenerf_tpu.ops.fused_train import make_fused_codes_op
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 24
+    ro, vd, z, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S)
+    codes_op = make_fused_codes_op(cfg)
+
+    def mk_loss(kind, dtype=None):
+        def loss(sc, tc):
+            if kind == "xla":
+                xyz = ro[:, None, :] + vd[:, None, :] * z[..., None]
+                s, r = apply_codenerf(params, cfg, xyz, vd, sc, tc,
+                                      compute_dtype=dtype)
+            else:
+                s, planes = fused_apply_train(params, cfg, ro, vd, z, sc, tc,
+                                              op=codes_op)
+                r = jnp.stack(planes, axis=-1)
+            return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
+        return loss
+
+    l_ref = float(mk_loss("xla", jnp.bfloat16)(sc, tc))
+    l_fused = float(mk_loss("fused")(sc, tc))
+    assert abs(l_ref - l_fused) < 1e-4
+
+    g32 = jax.grad(mk_loss("xla", jnp.float32), (0, 1))(sc, tc)
+    g16 = jax.grad(mk_loss("xla", jnp.bfloat16), (0, 1))(sc, tc)
+    gfu = jax.grad(mk_loss("fused"), (0, 1))(sc, tc)
+    for name, a16, afu, a32 in zip(["shape", "texture"], g16, gfu, g32):
+        v32, v16, vfu = _flat(a32), _flat(a16), _flat(afu)
+        rel_xla = float(jnp.linalg.norm(v16 - v32)
+                        / (jnp.linalg.norm(v32) + 1e-12))
+        rel_fused = float(jnp.linalg.norm(vfu - v32)
+                          / (jnp.linalg.norm(v32) + 1e-12))
+        assert rel_fused <= rel_xla * 1.5 + 1e-3, (name, rel_fused, rel_xla)
+
+
+def test_optimize_codes_fused_matches_xla(monkeypatch):
+    """optimize_codes with the codes-only fused kernels: the op must
+    actually be traced into the program (program-identity guard) and the
+    optimization trajectory must match the XLA path."""
+    from codenerf_tpu.optimization import codes_opt
+    from codenerf_tpu.ops import fused_train as ft
+
+    hp = _fused_hparams(n_samples=8)
+    params = init_codenerf(jax.random.PRNGKey(1), hp.net)
+    R = 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    ro = jax.random.uniform(ks[0], (R, 3), jnp.float32, -0.2, 0.2)
+    vd = jax.random.normal(ks[1], (R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    gt = jax.random.uniform(ks[2], (R, 3))
+    init_s = jax.random.normal(ks[3], (hp.net.latent_dim,)) * 0.05
+    init_t = jnp.zeros((hp.net.latent_dim,))
+
+    calls = {"codes_op": 0}
+    orig = ft.make_fused_codes_composite_op
+
+    def spy(*a, **kw):
+        calls["codes_op"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ft, "make_fused_codes_composite_op", spy)
+
+    kwargs = dict(num_opts=3, lr=1e-2, lr_half_interval=2, chunk=64)
+    res_f = codes_opt.optimize_codes(
+        params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
+        use_fused=True, **kwargs)
+    assert calls["codes_op"] == 1
+    res_x = codes_opt.optimize_codes(
+        params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
+        use_fused=False, **kwargs)
+    np.testing.assert_allclose(np.asarray(res_f.psnr_history),
+                               np.asarray(res_x.psnr_history), atol=0.3)
+    np.testing.assert_allclose(np.asarray(res_f.shape_code),
+                               np.asarray(res_x.shape_code), atol=3e-2)
+
+
+def test_optimize_codes_fused_fallback_and_explicit_raise():
+    """An un-tileable chunk quietly falls back when the flag comes from
+    hparams, and raises when use_fused=True is explicit."""
+    from codenerf_tpu.optimization.codes_opt import build_fused_codes_fns
+
+    hp = _fused_hparams(n_samples=8)
+    # chunk 48 is not divisible by the 32-ray forward tile
+    apply_fn, composite_fn = build_fused_codes_fns(hp, 48, use_fused=None)
+    assert apply_fn is None and composite_fn is None
+    with pytest.raises(ValueError, match="can't tile"):
+        build_fused_codes_fns(hp, 48, use_fused=True)
+    # tileable + hierarchical sampling -> plane op (apply_fn), XLA composite
+    import dataclasses
+    hp2 = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, n_importance=8))
+    apply_fn, composite_fn = build_fused_codes_fns(hp2, 64, use_fused=True)
+    assert apply_fn is not None and composite_fn is None
