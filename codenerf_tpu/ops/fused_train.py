@@ -403,7 +403,7 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
     return outs
 
 
-def make_fused_train_op(cfg: NetConfig):
+def make_fused_train_op(cfg: NetConfig, input_grads: bool = True):
     """Build the custom-VJP op for this architecture.
 
     Returns ``op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat) ->
@@ -412,6 +412,13 @@ def make_fused_train_op(cfg: NetConfig):
     expansion and PE run in-kernel), sproj/tproj are (R, blocks, W) bf16,
     vcontrib is (R, W) bf16 and wflat is the f32 list from
     :func:`flatten_params_f32`.
+
+    ``input_grads=False`` drops the ro/vd/z cotangent chain in-kernel (the
+    enc_xyz dx matmul, the PE Jacobian and the xyz reductions) and returns
+    zeros for those three operands — correct whenever rays and depths are
+    non-trainable, which is every TRAINING step (rays come from the batch
+    poses, z from the sampler RNG; only pose optimization differentiates
+    through them, and it uses an ``input_grads=True`` op).
     """
 
     @jax.custom_vjp
@@ -433,15 +440,22 @@ def make_fused_train_op(cfg: NetConfig):
         R, S = z.shape
         g_planes = tuple(x.astype(jnp.float32) for x in g)
         outs = _invoke_bwd(cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib,
-                           wflat, g_planes)
-        d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib = outs[:6]
-        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib, *outs[6:])
+                           wflat, g_planes, input_grads=input_grads)
+        if input_grads:
+            d_ro8, d_vd8, d_z = outs[:3]
+            outs = outs[3:]
+        else:
+            d_ro8, d_vd8, d_z = (jnp.zeros_like(ro8), jnp.zeros_like(vd8),
+                                 jnp.zeros_like(z))
+        d_sproj, d_tproj, d_vcontrib = outs[:3]
+        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib, *outs[3:])
 
     op.defvjp(fwd_rule, bwd_rule)
     return op
 
 
-def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True):
+def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True,
+                                  input_grads: bool = True):
     """Fully-fused training op: same operands as
     :func:`make_fused_train_op` but returning a single per-ray ``(R, 8)``
     f32 array ``[r | g | b | depth | acc | pad]`` — the volume rendering
@@ -458,7 +472,7 @@ def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True):
     the weights plane)."""
     from codenerf_tpu.ops.pallas_composite import make_composite_op
 
-    plane_op = make_fused_train_op(cfg)
+    plane_op = make_fused_train_op(cfg, input_grads=input_grads)
     comp_op = make_composite_op(white_bg=white_bg)
 
     def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):

@@ -174,12 +174,16 @@ def build_train_step(
         # Coarse-only training uses the FULLY-fused op (volume rendering
         # inside the kernels, per-ray op boundary); hierarchical sampling
         # needs the weights plane, so it keeps the plane-output op.
+        # input_grads=False: a training step never differentiates through
+        # rays or depths (rays come from batch poses, z from the sampler
+        # RNG; hierarchical z is behind stop_gradient), so the backward
+        # kernel drops the enc_xyz/PE/xyz cotangent chain.
         fuse_composite = hp.fused_composite and rcfg.n_importance == 0
         if fuse_composite:
             _op = ft.make_fused_train_composite_op(
-                net_cfg, white_bg=rcfg.white_bg)
+                net_cfg, white_bg=rcfg.white_bg, input_grads=False)
         else:
-            _op = ft.make_fused_train_op(net_cfg)
+            _op = ft.make_fused_train_op(net_cfg, input_grads=False)
         if mesh is not None:
             from jax.sharding import PartitionSpec as P
 
