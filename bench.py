@@ -195,6 +195,31 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     eff_time = time.perf_counter() - t0
     eff_rays_per_sec = (n_render_dispatches * rays_per_dispatch) / eff_time
 
+    # ---- test-time code optimization (informational): the reference
+    # optimize.py protocol's per-step cost on the codes-only fused
+    # backward (one 128x128 target view = 16K rays, flagship 96 samples).
+
+    from codenerf_tpu.optimization.codes_opt import optimize_codes
+
+    ro_flat = ro.reshape(-1, 3)[:16384]
+    vd_flat = vd.reshape(-1, 3)[:16384]
+    gt_flat = jnp.zeros((16384, 3), jnp.float32)
+    init_code = jnp.zeros((hp.net.latent_dim,), jnp.float32)
+    n_opts = 20
+
+    def run_codes_opt():
+        res = optimize_codes(params, hp, ro_flat, vd_flat, gt_flat,
+                             init_code, init_code, jax.random.PRNGKey(0),
+                             num_opts=n_opts, use_fused=True)
+        sync(res.shape_code)
+
+    for _ in range(8):  # compile + steady-state warmup (first ~10 runs of
+        run_codes_opt()  # a fresh executable are ~7x slow on this runtime)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        run_codes_opt()
+    codesopt_rays_per_sec = (2 * n_opts * 16384) / (time.perf_counter() - t0)
+
     combined = (train_rays + render_rays_total) / (train_time + render_time)
     return {
         "rays_per_sec_combined": combined,
@@ -203,6 +228,7 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
         "rays_per_sec_render": render_rays_total / render_time,
         "rays_per_sec_render_bounded32": eff_rays_per_sec,
         "rays_per_sec_train_bounded48": train_bounded_rays_per_sec,
+        "rays_per_sec_codes_opt": codesopt_rays_per_sec,
         "n_devices": len(jax.devices()),
     }
 
@@ -225,6 +251,8 @@ def main() -> None:
                 r["rays_per_sec_render_bounded32"], 1),
             "train_bounded48_rays_per_sec": round(
                 r["rays_per_sec_train_bounded48"], 1),
+            "codes_opt_rays_per_sec": round(
+                r["rays_per_sec_codes_opt"], 1),
             "n_devices": r["n_devices"],
         },
     }))

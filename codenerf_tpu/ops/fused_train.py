@@ -46,6 +46,8 @@ from codenerf_tpu.ops import fused_mlp
 # INPUTS (cast once in XLA) plus raising the per-kernel scoped-vmem
 # guardrail (see _invoke_bwd) lets larger tiles compile.
 _TILE_RAYS = 16
+# Single-pass training kernel tile (ray rows per grid step).
+_TRAIN_TILE_RAYS = 16
 _BWD_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
@@ -307,6 +309,271 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
         d_z_ref[...] = jnp.sum(d_xyz3 * vd8[:, None, :], axis=-1)  # (T, S)
         d_ro_ref[...] = jnp.sum(d_xyz3, axis=1)                    # (T, 8)
         d_vd_ref[...] = jnp.sum(d_xyz3 * z[:, :, None], axis=1)    # (T, 8)
+
+
+def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
+                  *refs):
+    """SINGLE-PASS training kernel: forward + volume rendering + per-ray
+    MSE cotangent + full backward in one grid step per ray tile.
+
+    Why: the two-kernel training op pays 4F of MLP matmul FLOPs per step —
+    the forward kernel computes F, then the backward kernel RECOMPUTES the
+    forward (its activations can't survive in VMEM between two pallas
+    calls) before its 2F of dx/dW chains. Here the forward's activations
+    never leave VMEM, the composite+loss run on them in-tile, and the
+    backward chains immediately: 3F total. The per-ray loss must be plain
+    MSE against a ``gt`` operand for the cotangent ``2·scale·(rgb−gt)``
+    to be computable in-kernel — which is exactly the training loss
+    (reference ``src/trainer.py:75``); reg/metrics stay in XLA.
+
+    Ref order:
+      in:  ro8 (T,8), vd8 (T,8), z (T,S), sproj, tproj, vcontrib,
+           gt8 (T,8) [gt rgb in lanes 0..2],
+           peA, m_id, m_sin, m_cos, (w_i, b_i)*
+      out: se8 (T,8) per-ray squared-error rows (lanes 0..2; summed by XLA),
+           d_sproj, d_tproj, d_vcontrib, (dw_i, db_i)* accumulators.
+    No input (ro/vd/z) cotangents: training never differentiates through
+    rays or depths.
+    """
+    import jax.nn as jnn
+    from jax.experimental import pallas as pl
+
+    T = _TRAIN_TILE_RAYS
+    P = T * S
+    W = cfg.W
+    nb, nt = cfg.shape_blocks, cfg.texture_blocks
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    names = _weight_shapes(cfg)
+    k = len(names)
+    idx_of = {n: j for j, (n, _, _) in enumerate(names)}
+
+    (ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
+     gt_ref) = refs[:7]
+    peA_ref, peid_ref, pesin_ref, pecos_ref = refs[7:11]
+    w_refs = refs[11:11 + 2 * k]
+    (se_ref, d_sproj_ref, d_tproj_ref, d_vcontrib_ref) = \
+        refs[11 + 2 * k:15 + 2 * k]
+    dwb_refs = refs[15 + 2 * k:15 + 4 * k]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for j, (name, wshape, bshape) in enumerate(names):
+            dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
+            dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
+
+    def w(name):
+        return w_refs[2 * idx_of[name]][...]
+
+    def b(name):
+        return w_refs[2 * idx_of[name] + 1][...]
+
+    def dot(x, wm):
+        return jax.lax.dot_general(
+            x, wm, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def dot_t(g, wm):
+        return jax.lax.dot_general(
+            g, wm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def dot_acc(x, g):
+        return jax.lax.dot_general(
+            x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def ray_sum(x):
+        return jnp.sum(x.reshape(T, S, W), axis=1)
+
+    def inject(y, z_tile):
+        return (y.reshape(T, S, W) + z_tile[:, None, :].astype(y.dtype)
+                ).reshape(P, W)
+
+    # ---------------- forward (activations stay live in VMEM)
+    ro8 = ro_ref[...]
+    vd8 = vd_ref[...]
+    z = z_ref[...]
+    xyz8 = (ro8[:, None, :] + vd8[:, None, :] * z[:, :, None]).reshape(P, 8)
+    peA = peA_ref[...]
+    m_id, m_sin, m_cos = peid_ref[...], pesin_ref[...], pecos_ref[...]
+    pe_f32, _ = fused_mlp._pe_in_kernel(xyz8, peA, m_id, m_sin, m_cos)
+    pe = pe_f32.astype(bf16)
+    sproj = sproj_ref[...]
+    tproj = tproj_ref[...]
+    vcontrib = vcontrib_ref[...]
+
+    y0 = jnn.relu(dot(pe, w("enc_xyz")) + b("enc_xyz")).astype(bf16)
+    ys = []
+    cur = y0
+    for j in range(nb):
+        xj = inject(cur, sproj[:, j, :])
+        cur = jnn.relu(dot(xj, w(f"shape_{j}")) + b(f"shape_{j}")).astype(bf16)
+        ys.append(cur)
+    t_in = cur
+    t = (dot(t_in, w("enc_shape")) + b("enc_shape")).astype(bf16)
+    w_sig = w_refs[2 * idx_of["sigma"]][...]
+    b_sig = w_refs[2 * idx_of["sigma"] + 1][...]
+    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1
+                      ).reshape(T, S) + b_sig[0]
+    u = dot(t, w("enc_viewdir_pt"))
+    yv = jnn.relu(
+        u.reshape(T, S, W) + vcontrib[:, None, :].astype(f32)
+    ).reshape(P, W).astype(bf16)
+    yts = []
+    cur = yv
+    for j in range(nt):
+        xtj = inject(cur, tproj[:, j, :])
+        cur = jnn.relu(
+            dot(xtj, w(f"texture_{j}")) + b(f"texture_{j}")).astype(bf16)
+        yts.append(cur)
+    r_in = cur
+    r = jnn.relu(dot(r_in, w("rgb_hidden")) + b("rgb_hidden")).astype(bf16)
+    rgb8 = dot(r, w("rgb_out")) + b("rgb_out")          # (P, 8) f32
+    sigma = jnn.softplus(sig_pre)                       # (T, S) f32
+    rgb3 = rgb8.reshape(T, S, 8)
+    c0, c1, c2 = rgb3[:, :, 0], rgb3[:, :, 1], rgb3[:, :, 2]
+
+    # ---------------- volume rendering + MSE cotangent (in-tile).
+    # (S, S)-matmul composite: a VPU lane-scan spelling (Hillis-Steele
+    # doubling via pltpu.roll) was measured 18 ms/step SLOWER — the ~20
+    # lane rotates each pay a relayout; the small matmuls, despite padding
+    # 16 rows to the MXU's 128, cost only ~4 ms over the fat-tile kernel.
+    out8, aux = fused_mlp.composite_fwd_in_kernel(
+        sigma, c0, c1, c2, z, white_bg)
+    gt8 = gt_ref[...]
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+    diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
+    se_ref[...] = diff * diff        # per-ray SE rows; summed by XLA
+    g8 = (2.0 * scale) * diff                           # d out8
+    g_sigma, gc0, gc1, gc2, _dz = fused_mlp.composite_bwd_in_kernel(
+        sigma, c0, c1, c2, z, g8, aux, white_bg)
+
+    # ---------------- backward chain (stored activations — no recompute)
+    # d softplus handled below via sigmoid(sig_pre); rgb plane cotangents
+    # assemble into the (P, 8) layout of the rgb head.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, S, 8), 2)
+    g8_3 = (jnp.where(lane == 0, gc0[:, :, None], 0.0)
+            + jnp.where(lane == 1, gc1[:, :, None], 0.0)
+            + jnp.where(lane == 2, gc2[:, :, None], 0.0))
+
+    def acc(name, x, gh):
+        j = idx_of[name]
+        dwb_refs[2 * j][...] += dot_acc(x, gh)
+        dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
+
+    gh8 = g8_3.reshape(P, 8).astype(bf16)
+    acc("rgb_out", r, gh8)
+    gr = dot_t(gh8, w("rgb_out"))
+    gh = (gr * (r.astype(f32) > 0)).astype(bf16)
+    acc("rgb_hidden", r_in, gh)
+    g_cur = dot_t(gh, w("rgb_hidden"))
+    for j in reversed(range(nt)):
+        gh = (g_cur * (yts[j].astype(f32) > 0)).astype(bf16)
+        xtj = inject(yts[j - 1] if j > 0 else yv, tproj[:, j, :])
+        acc(f"texture_{j}", xtj, gh)
+        g_cur = dot_t(gh, w(f"texture_{j}"))
+        d_tproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
+    gu = g_cur * (yv.astype(f32) > 0)
+    d_vcontrib_ref[...] = ray_sum(gu).astype(bf16)
+    gu16 = gu.astype(bf16)
+    acc("enc_viewdir_pt", t, gu16)
+    g_t = dot_t(gu16, w("enc_viewdir_pt"))
+    dsig = g_sigma * jnn.sigmoid(sig_pre)
+    g_t = (g_t.reshape(T, S, W)
+           + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
+    jsig = idx_of["sigma"]
+    t_dsig = (t.astype(f32).reshape(T, S, W)
+              * dsig[:, :, None]).reshape(P, W)
+    dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
+    dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
+    gh = g_t.astype(bf16)
+    acc("enc_shape", t_in, gh)
+    g_cur = dot_t(gh, w("enc_shape"))
+    for j in reversed(range(nb)):
+        gh = (g_cur * (ys[j].astype(f32) > 0)).astype(bf16)
+        xj = inject(ys[j - 1] if j > 0 else y0, sproj[:, j, :])
+        acc(f"shape_{j}", xj, gh)
+        g_cur = dot_t(gh, w(f"shape_{j}"))
+        d_sproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
+    gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
+    acc("enc_xyz", pe, gh)
+
+
+def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
+                       scale: float, ro8, vd8, z, sproj, tproj, vcontrib,
+                       gt8, wflat):
+    """Run the single-pass training kernel. Returns
+    ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [dw_i/db_i f32...])``
+    where se_sum is Σ over rays of Σ_rgb (rgb−gt)² and the weight
+    gradients match the operand order of :func:`flatten_params_f32`
+    (already scaled by the in-kernel ``2·scale`` cotangent)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = _TRAIN_TILE_RAYS
+    P = T * S
+    W = cfg.W
+    names = _weight_shapes(cfg)
+    n_tiles = R // T
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    wops = [x.astype(bf16) if x.ndim == 2 else x for x in wflat]
+
+    def tile_spec(block, index_map):
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, (lambda nd: lambda i: (0,) * nd)(len(shape)),
+                            memory_space=pltpu.VMEM)
+
+    pe_ops = fused_mlp.pe_const_operands(cfg.num_xyz_freq)
+    in_specs = [
+        tile_spec((T, 8), lambda i: (i, 0)),                 # ro8
+        tile_spec((T, 8), lambda i: (i, 0)),                 # vd8
+        tile_spec((T, S), lambda i: (i, 0)),                 # z
+        tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
+        tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
+        tile_spec((T, W), lambda i: (i, 0)),
+        tile_spec((T, 8), lambda i: (i, 0)),                 # gt8
+    ] + [const_spec(c.shape) for c in pe_ops] \
+      + [const_spec(x.shape) for x in wops]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((R, 8), f32),                          # se rows
+        jax.ShapeDtypeStruct((R, cfg.shape_blocks, W), bf16),       # d_sproj
+        jax.ShapeDtypeStruct((R, cfg.texture_blocks, W), bf16),     # d_tproj
+        jax.ShapeDtypeStruct((R, W), bf16),                         # d_vcontrib
+    ]
+    out_specs = [
+        tile_spec((T, 8), lambda i: (i, 0)),
+        tile_spec((T, cfg.shape_blocks, W), lambda i: (i, 0, 0)),
+        tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
+        tile_spec((T, W), lambda i: (i, 0)),
+    ]
+    for name, wshape, bshape in names:
+        out_shape += [jax.ShapeDtypeStruct(wshape, f32),
+                      jax.ShapeDtypeStruct(bshape, f32)]
+        out_specs += [const_spec(wshape), const_spec(bshape)]
+
+    # 3x forward FLOPs (fwd + dx + dW), no recompute.
+    flops_per_tile = 3 * 2 * P * W * (
+        64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
+    )
+    outs = pl.pallas_call(
+        functools.partial(_train_kernel, cfg, S, white_bg, scale),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_tile * n_tiles,
+            bytes_accessed=R * S * (64 * 2 + 8 * 4 + 64 * 2),
+            transcendentals=R * S * 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT_BYTES),
+    )(ro8, vd8, z, sproj, tproj, vcontrib, gt8, *pe_ops, *wops)
+    se = jnp.sum(outs[0])
+    return (se,) + tuple(outs[1:])
 
 
 def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,

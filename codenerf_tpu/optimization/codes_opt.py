@@ -113,6 +113,89 @@ def build_fused_codes_fns(hp: Hparams, chunk: int, *,
     return apply_fn, None
 
 
+# Jitted run functions keyed on everything shape/config-static. The data
+# (rays, pixels, params) are ARGUMENTS of the jitted function, so the
+# reference protocol's per-object loop (src/optimizer.py:53-147 — hundreds
+# of test objects) traces and compiles ONCE, not once per object.
+_RUN_CACHE: dict = {}
+
+
+def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
+               num_opts: int, lr: float, lr_half_interval: int,
+               reference_resets: bool, use_fused: Optional[bool]):
+    net_cfg, rcfg = hp.net, hp.render
+    compute_dtype = resolve_dtype(hp.compute_dtype)
+    apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
+                                                   use_fused=use_fused)
+    fused = apply_fn is not None or composite_fn is not None
+
+    # AdamW on the two code vectors only — the model is frozen exactly
+    # like the reference (optimizer.py:195-198).
+    tx = optax.adamw(step_halving(lr, lr_half_interval), b1=0.9, b2=0.999,
+                     eps=1e-8, weight_decay=hp.weight_decay)
+
+    def loss_fn(codes, step_key, params, fine_params, ro_c, vd_c, gt_c,
+                mask_c):
+        shape_code, texture_code = codes
+
+        def body(carry, xs):
+            ro, vd, gt, m, k = xs
+            res = render_rays(
+                params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
+                fine_params=fine_params, compute_dtype=compute_dtype,
+                apply_fn=apply_fn, composite_fn=composite_fn,
+            )
+            se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
+            if res.fine is not None:
+                se = se + jnp.sum(m[:, None] * (res.coarse.rgb - gt) ** 2)
+            return carry + se, None
+
+        keys = jax.random.split(step_key, n_chunks)
+        # The XLA path needs remat to bound the saved (chunk, S, W)
+        # activations; the fused op's residuals are the per-ray operands
+        # only, so rematerializing it would just run the forward kernel
+        # twice.
+        total_se, _ = jax.lax.scan(
+            body if fused else jax.checkpoint(body),
+            jnp.zeros((), jnp.float32),
+            (ro_c, vd_c, gt_c, mask_c, keys),
+        )
+        mse = total_se / (n_rays * 3.0)
+        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
+        return mse + hp.loss_reg_coef * reg, mse
+
+    @jax.jit
+    def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key):
+        opt_state0 = tx.init(codes0)
+
+        def step(carry, xs):
+            step_idx, step_key = xs
+            codes, opt_state = carry
+            if reference_resets:
+                from codenerf_tpu.training.train_step import reset_adam_state
+
+                opt_state = jax.lax.cond(
+                    step_idx % lr_half_interval == 0,
+                    reset_adam_state, lambda s: s, opt_state,
+                )
+            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                codes, step_key, params, fine_params, ro_c, vd_c, gt_c,
+                mask_c,
+            )
+            updates, opt_state = tx.update(grads, opt_state, codes)
+            codes = optax.apply_updates(codes, updates)
+            return (codes, opt_state), psnr_fn(mse)
+
+        keys = jax.random.split(key, num_opts)
+        (codes, _), history = jax.lax.scan(
+            step, (codes0, opt_state0),
+            (jnp.arange(num_opts), keys),
+        )
+        return codes, history
+
+    return run
+
+
 def optimize_codes(
     params,
     hp: Hparams,
@@ -130,7 +213,9 @@ def optimize_codes(
     reference_resets: bool = False,
     use_fused: Optional[bool] = None,
 ) -> OptimizationResult:
-    """Optimize one object's codes against flat target rays. Fully jitted.
+    """Optimize one object's codes against flat target rays. Fully jitted;
+    the compiled optimization is cached across calls (same ray count and
+    settings → later objects reuse the executable).
 
     ``reference_resets=True`` reproduces the reference quirk of rebuilding
     the AdamW optimizer (zeroing its moments) at every lr halving
@@ -139,15 +224,20 @@ def optimize_codes(
 
     ``use_fused`` (default: ``hp.use_fused_train``) runs each step's
     forward+backward through the codes-only fused Pallas kernels."""
-    net_cfg, rcfg = hp.net, hp.render
-    compute_dtype = resolve_dtype(hp.compute_dtype)
     from codenerf_tpu.renderer import chunk_plan
 
     n_rays = ray_o.shape[0]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
-    apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
-                                                   use_fused=use_fused)
-    fused = apply_fn is not None or composite_fn is not None
+    n_chunks = n_padded // chunk
+    cache_key = (hp, n_rays, chunk, n_chunks, num_opts, lr,
+                 lr_half_interval, reference_resets, use_fused,
+                 fine_params is None)
+    if cache_key not in _RUN_CACHE:
+        _RUN_CACHE[cache_key] = _build_run(
+            hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,
+            reference_resets, use_fused)
+    run = _RUN_CACHE[cache_key]
+
     ro_c = _chunked(ray_o, chunk, n_padded)
     vd_c = _chunked(viewdir, chunk, n_padded)
     gt_c = _chunked(gt_rgb, chunk, n_padded)
@@ -155,70 +245,10 @@ def optimize_codes(
     mask = jnp.arange(n_padded, dtype=jnp.float32) < n_rays
     mask_c = mask.reshape(-1, chunk)
 
-    # AdamW on the two code vectors only (model params are captured as
-    # constants — frozen exactly like the reference, optimizer.py:195-198).
-    tx = optax.adamw(step_halving(lr, lr_half_interval), b1=0.9, b2=0.999,
-                     eps=1e-8, weight_decay=hp.weight_decay)
-
-    def loss_fn(codes, step_key):
-        shape_code, texture_code = codes
-
-        def body(carry, xs):
-            ro, vd, gt, m, k = xs
-            res = render_rays(
-                params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
-                fine_params=fine_params, compute_dtype=compute_dtype,
-                apply_fn=apply_fn, composite_fn=composite_fn,
-            )
-            se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
-            if res.fine is not None:
-                se = se + jnp.sum(m[:, None] * (res.coarse.rgb - gt) ** 2)
-            return carry + se, None
-
-        keys = jax.random.split(step_key, ro_c.shape[0])
-        # The XLA path needs remat to bound the saved (chunk, S, W)
-        # activations; the fused op's residuals are the per-ray operands
-        # only, so rematerializing it would just run the forward kernel
-        # twice.
-        total_se, _ = jax.lax.scan(
-            body if fused else jax.checkpoint(body),
-            jnp.zeros((), jnp.float32),
-            (ro_c, vd_c, gt_c, mask_c, keys),
-        )
-        mse = total_se / (n_rays * 3.0)
-        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
-        return mse + hp.loss_reg_coef * reg, mse
-
-    @jax.jit
-    def run(codes0, key):
-        opt_state0 = tx.init(codes0)
-
-        def step(carry, xs):
-            step_idx, step_key = xs
-            codes, opt_state = carry
-            if reference_resets:
-                from codenerf_tpu.training.train_step import reset_adam_state
-
-                opt_state = jax.lax.cond(
-                    step_idx % lr_half_interval == 0,
-                    reset_adam_state, lambda s: s, opt_state,
-                )
-            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                codes, step_key
-            )
-            updates, opt_state = tx.update(grads, opt_state, codes)
-            codes = optax.apply_updates(codes, updates)
-            return (codes, opt_state), psnr_fn(mse)
-
-        keys = jax.random.split(key, num_opts)
-        (codes, _), history = jax.lax.scan(
-            step, (codes0, opt_state0),
-            (jnp.arange(num_opts), keys),
-        )
-        return codes, history
-
     (shape_code, texture_code), history = run(
-        (init_shape.astype(jnp.float32), init_texture.astype(jnp.float32)), key
+        params, fine_params, ro_c, vd_c, gt_c, mask_c,
+        (init_shape.astype(jnp.float32), init_texture.astype(jnp.float32)),
+        key,
     )
     return OptimizationResult(shape_code, texture_code, history)
 

@@ -84,6 +84,63 @@ def pad_rays(x: jnp.ndarray, n_padded: int) -> jnp.ndarray:
     )
 
 
+def coarse_zvals(
+    rcfg: RenderConfig,
+    ray_o: jnp.ndarray,
+    viewdir: jnp.ndarray,
+    key: Optional[jax.Array],
+    occ_grid=None,
+) -> tuple:
+    """Coarse depth samples for a ray batch — the single z-generation path
+    shared by :func:`render_rays` and the fused-loss training step.
+
+    Returns ``(z_coarse (R, n_samples) f32, key_fine)`` where ``key_fine``
+    is the split-off key for hierarchical sampling (``None`` when ``key``
+    is None, i.e. deterministic midpoint rendering). Per-ray bounds
+    tighten [near, far] to the bounding sphere and/or the occupancy grid
+    (skipped under the reference's shared-jitter quirk, which is by
+    definition one global slab)."""
+    R = ray_o.shape[0]
+    deterministic = key is None
+    use_bounds = (
+        rcfg.bound_sphere_radius is not None or occ_grid is not None
+    ) and not rcfg.shared_jitter
+    if use_bounds:
+        if rcfg.bound_sphere_radius is not None:
+            t0, t1 = ray_sphere_bounds(ray_o, viewdir, rcfg.near, rcfg.far,
+                                       rcfg.bound_sphere_radius)
+        else:
+            t0 = jnp.full((R,), rcfg.near, jnp.float32)
+            t1 = jnp.full((R,), rcfg.far, jnp.float32)
+        if occ_grid is not None:
+            from codenerf_tpu.core.occupancy import ray_grid_bounds
+
+            t0, t1 = ray_grid_bounds(occ_grid, ray_o, viewdir, t0, t1,
+                                     n_probes=rcfg.occ_probes)
+    if deterministic:
+        if use_bounds:
+            t = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=jnp.float32)
+            z_coarse = t0[:, None] + t[None, :] * (t1 - t0)[:, None]
+        else:
+            z_coarse = jnp.broadcast_to(
+                fixed_zvals(rcfg.near, rcfg.far, rcfg.n_samples),
+                (R, rcfg.n_samples),
+            )
+        key_fine = None
+    else:
+        key_z, key_fine = jax.random.split(key)
+        z_coarse = stratified_zvals(
+            key_z,
+            t0 if use_bounds else rcfg.near,
+            t1 if use_bounds else rcfg.far,
+            rcfg.n_samples,
+            num_rays=R, shared=rcfg.shared_jitter,
+        )
+        if z_coarse.ndim == 1:
+            z_coarse = jnp.broadcast_to(z_coarse, (R, rcfg.n_samples))
+    return z_coarse, key_fine
+
+
 def render_rays(
     params,
     net_cfg: NetConfig,
@@ -130,46 +187,9 @@ def render_rays(
             "the weights plane hierarchical sampling needs; use apply_fn "
             "with n_importance > 0"
         )
+    z_coarse, key_fine = coarse_zvals(rcfg, ray_o, viewdir, key,
+                                      occ_grid=occ_grid)
     deterministic = key is None
-    # Per-ray bounds: tighten [near, far] to the object's bounding sphere so
-    # the fixed sample budget lands on the object (shared_jitter is by
-    # definition one global slab, so bounds are skipped in that quirk mode).
-    use_bounds = (
-        rcfg.bound_sphere_radius is not None or occ_grid is not None
-    ) and not rcfg.shared_jitter
-    if use_bounds:
-        if rcfg.bound_sphere_radius is not None:
-            t0, t1 = ray_sphere_bounds(ray_o, viewdir, rcfg.near, rcfg.far,
-                                       rcfg.bound_sphere_radius)
-        else:
-            t0 = jnp.full((R,), rcfg.near, jnp.float32)
-            t1 = jnp.full((R,), rcfg.far, jnp.float32)
-        if occ_grid is not None:
-            from codenerf_tpu.core.occupancy import ray_grid_bounds
-
-            t0, t1 = ray_grid_bounds(occ_grid, ray_o, viewdir, t0, t1,
-                                     n_probes=rcfg.occ_probes)
-    if deterministic:
-        if use_bounds:
-            t = jnp.linspace(0.0, 1.0, rcfg.n_samples, dtype=jnp.float32)
-            z_coarse = t0[:, None] + t[None, :] * (t1 - t0)[:, None]
-        else:
-            z_coarse = jnp.broadcast_to(
-                fixed_zvals(rcfg.near, rcfg.far, rcfg.n_samples),
-                (R, rcfg.n_samples),
-            )
-        key_fine = None
-    else:
-        key_z, key_fine = jax.random.split(key)
-        z_coarse = stratified_zvals(
-            key_z,
-            t0 if use_bounds else rcfg.near,
-            t1 if use_bounds else rcfg.far,
-            rcfg.n_samples,
-            num_rays=R, shared=rcfg.shared_jitter,
-        )
-        if z_coarse.ndim == 1:
-            z_coarse = jnp.broadcast_to(z_coarse, (R, rcfg.n_samples))
 
     def eval_and_composite(p, z_vals):
         if composite_fn is not None:

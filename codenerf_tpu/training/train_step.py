@@ -171,44 +171,35 @@ def build_train_step(
                     f"rays/step(/device)={step_rays}, samples={s})"
                 )
 
-        # Coarse-only training uses the FULLY-fused op (volume rendering
-        # inside the kernels, per-ray op boundary); hierarchical sampling
-        # needs the weights plane, so it keeps the plane-output op.
-        # input_grads=False: a training step never differentiates through
-        # rays or depths (rays come from batch poses, z from the sampler
-        # RNG; hierarchical z is behind stop_gradient), so the backward
-        # kernel drops the enc_xyz/PE/xyz cotangent chain.
+        # Coarse-only training uses the SINGLE-PASS loss kernel (forward +
+        # volume rendering + per-ray MSE cotangent + backward in one grid
+        # step: activations never leave VMEM, no forward recompute — 3x
+        # forward FLOPs total vs the two-kernel op's 4x; see
+        # ops/fused_train._train_kernel). Hierarchical sampling needs the
+        # weights plane, so it keeps the plane-output op under plain
+        # autodiff. input_grads=False everywhere: a training step never
+        # differentiates through rays or depths (rays come from batch
+        # poses, z from the sampler RNG; hierarchical z is behind
+        # stop_gradient).
         fuse_composite = hp.fused_composite and rcfg.n_importance == 0
-        if fuse_composite:
-            _op = ft.make_fused_train_composite_op(
-                net_cfg, white_bg=rcfg.white_bg, input_grads=False)
-        else:
+        if not fuse_composite:
             _op = ft.make_fused_train_op(net_cfg, input_grads=False)
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
 
-            from jax import shard_map as _shard_map
+                from jax import shard_map as _shard_map
 
-            batch_axes = tuple(ax for ax in ("replica", "data")
-                               if ax in mesh.axis_names)
-            n_w = 2 * len(ft._weight_shapes(net_cfg))
-            n_out = 1 if fuse_composite else 4
-            kw = dict(mesh=mesh,
-                      in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
-                      out_specs=(P(batch_axes),) * n_out)
-            if fuse_composite:
-                kw["out_specs"] = P(batch_axes)
-            try:
-                _op = _shard_map(_op, check_vma=False, **kw)
-            except TypeError:  # pre-0.9 jax spells it check_rep
-                _op = _shard_map(_op, check_rep=False, **kw)
+                batch_axes = tuple(ax for ax in ("replica", "data")
+                                   if ax in mesh.axis_names)
+                n_w = 2 * len(ft._weight_shapes(net_cfg))
+                kw = dict(mesh=mesh,
+                          in_specs=(P(batch_axes),) * 6 + (P(),) * n_w,
+                          out_specs=(P(batch_axes),) * 4)
+                try:
+                    _op = _shard_map(_op, check_vma=False, **kw)
+                except TypeError:  # pre-0.9 jax spells it check_rep
+                    _op = _shard_map(_op, check_rep=False, **kw)
 
-        if fuse_composite:
-            def composite_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
-                return ft.fused_render_train(
-                    p, cfg, ray_o, viewdir, z_vals, s_code, t_code, op=_op,
-                    white_bg=rcfg.white_bg)
-        else:
             def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
                 return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,
                                             s_code, t_code, op=_op)
@@ -258,7 +249,99 @@ def build_train_step(
         }
         return loss, metrics
 
-    grad_fn = jax.grad(loss_fn, has_aux=True)
+    use_fused_loss = (hp.use_fused_train and hp.fused_composite
+                      and rcfg.n_importance == 0)
+    if use_fused_loss:
+        from codenerf_tpu.ops import fused_mlp
+        from codenerf_tpu.ops import fused_train as ft
+        from codenerf_tpu.renderer import coarse_zvals
+
+        reg_coef = hp.loss_reg_coef / hp.quirks.reg_chunk_divisor
+
+        def grad_fn(trainables, batch: Batch, key: jax.Array, occ_grid=None):
+            """Single-pass fused loss+gradients: the kernel returns the
+            squared-error sum plus cotangents for the per-ray code
+            projections and every MLP weight; ONE jax.vjp over the XLA
+            prologue (code gather, latent projections, weight
+            flattening/padding, reg term) chains them into the exact
+            trainables gradient — bitwise the same chaining autodiff
+            would emit, without a second forward."""
+            ray_o, viewdir = pixel_rays(batch["uv"], batch["focal"],
+                                        batch["c2w"], H, W)
+            z2d, _ = coarse_zvals(rcfg, ray_o, viewdir, key,
+                                  occ_grid=occ_grid)
+            R_total = batch["rgb"].shape[0]
+            scale = 1.0 / (R_total * 3.0)
+            f32 = jnp.float32
+            ro8 = fused_mlp._pad_lanes(ray_o.astype(f32), 8)
+            vd8 = fused_mlp._pad_lanes(viewdir.astype(f32), 8)
+            gt8 = fused_mlp._pad_lanes(batch["rgb"].astype(f32), 8)
+
+            def prologue(tr):
+                sc = tr["shape_codes"][batch["obj"]]
+                tc = tr["texture_codes"][batch["obj"]]
+                _, _, _, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+                    tr["params"], net_cfg, ray_o, viewdir, z2d, sc, tc)
+                wflat = ft.flatten_params_f32(tr["params"], net_cfg)
+                reg = jnp.mean(jnp.linalg.norm(sc, axis=-1)
+                               + jnp.linalg.norm(tc, axis=-1))
+                return sproj, tproj, vcontrib, wflat, reg
+
+            (sproj, tproj, vcontrib, wflat, reg), pro_vjp = jax.vjp(
+                prologue, trainables)
+
+            def kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
+                            *wflat):
+                outs = ft.invoke_train_fused(
+                    net_cfg, z2d.shape[1], z2d.shape[0], rcfg.white_bg,
+                    scale, ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
+                    list(wflat))
+                if mesh is not None:
+                    axes = tuple(ax for ax in ("replica", "data")
+                                 if ax in mesh.axis_names)
+                    se = jax.lax.psum(outs[0], axes)
+                    dwb = [jax.lax.psum(x, axes) for x in outs[4:]]
+                    return (se,) + tuple(outs[1:4]) + tuple(dwb)
+                return tuple(outs)
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from jax import shard_map as _shard_map
+
+                batch_axes = tuple(ax for ax in ("replica", "data")
+                                   if ax in mesh.axis_names)
+                n_w = len(wflat)
+                kw = dict(
+                    mesh=mesh,
+                    in_specs=(P(batch_axes),) * 3
+                    + (P(batch_axes),) * 3 + (P(batch_axes),)
+                    + (P(),) * n_w,
+                    out_specs=(P(),) + (P(batch_axes),) * 3 + (P(),) * n_w,
+                )
+                try:
+                    kernel_call = _shard_map(kernel_call, check_vma=False,
+                                             **kw)
+                except TypeError:
+                    kernel_call = _shard_map(kernel_call, check_rep=False,
+                                             **kw)
+
+            outs = kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
+                               *wflat)
+            se, d_sproj, d_tproj, d_vcontrib = outs[:4]
+            dwb = list(outs[4:])
+            (grads,) = pro_vjp((d_sproj, d_tproj, d_vcontrib, dwb,
+                                jnp.asarray(reg_coef, f32)))
+            mse = se * scale
+            metrics = {
+                "loss": mse + reg_coef * reg,
+                "mse": mse,
+                "psnr": -10.0 * jnp.log(mse) / jnp.log(10.0),
+                "reg": reg,
+            }
+            return grads, metrics
+    else:
+        grad_fn = jax.grad(loss_fn, has_aux=True)
 
     def full_grads(trainables, batch: Batch, key: jax.Array, occ_grid=None):
         if not microbatch_rays:

@@ -243,10 +243,11 @@ def test_use_fused_train_flag_changes_program(monkeypatch, composite):
     """Regression for the round-1 dead-code bug: with use_fused_train the
     jitted step must actually trace through the fused op (the flag used to
     build apply_fn and then silently compile the plain XLA path). With
-    fused_composite the step must pick the per-ray composite op instead."""
+    fused_composite the step must route through the SINGLE-PASS loss
+    kernel instead."""
     import codenerf_tpu.ops.fused_train as ft
 
-    calls = {"planes": 0, "composite": 0}
+    calls = {"planes": 0, "single": 0}
 
     def make_spy(orig, key):
         def spy(cfg, **kwargs):
@@ -259,22 +260,24 @@ def test_use_fused_train_flag_changes_program(monkeypatch, composite):
             return wrapped
         return spy
 
+    def invoke_spy(*args, **kwargs):
+        calls["single"] += 1
+        return _orig_invoke(*args, **kwargs)
+
+    _orig_invoke = ft.invoke_train_fused
     monkeypatch.setattr(ft, "make_fused_train_op",
                         make_spy(ft.make_fused_train_op, "planes"))
-    monkeypatch.setattr(ft, "make_fused_train_composite_op",
-                        make_spy(ft.make_fused_train_composite_op,
-                                 "composite"))
+    monkeypatch.setattr(ft, "invoke_train_fused", invoke_spy)
     hp = _fused_hparams(fused_composite=composite)
     state, step_fn, pipe = _step_setup(hp, batch_rays=32)
     batch = pipe.sample(32)
     jax.eval_shape(step_fn, state, batch)  # trace only — no Pallas execution
     if composite:
-        # (the composite op is BUILT FROM the plane op, so "planes" also
-        # registers a call — only the composite wrapper distinguishes)
-        assert calls["composite"] >= 1, "composite op never traced"
+        assert calls["single"] >= 1, "single-pass loss kernel never traced"
+        assert calls["planes"] == 0, "plane op unexpectedly traced"
     else:
         assert calls["planes"] >= 1, "plane op never traced by the step"
-        assert calls["composite"] == 0, "composite op unexpectedly traced"
+        assert calls["single"] == 0, "single-pass kernel unexpectedly traced"
 
 
 def test_use_fused_train_validates_batch_at_build():
@@ -469,3 +472,42 @@ def test_optimize_codes_fused_fallback_and_explicit_raise():
         hp, render=dataclasses.replace(hp.render, n_importance=8))
     apply_fn, composite_fn = build_fused_codes_fns(hp2, 64, use_fused=True)
     assert apply_fn is not None and composite_fn is None
+
+
+def test_fused_train_with_occupancy_grid():
+    """The production config combination (srncar_occ.json): single-pass
+    fused kernel + training occupancy grid. The grid rides as the third
+    step input and only changes z generation, so the fused step must (a)
+    accept it and (b) agree with the plane-op fused path on the same
+    grid."""
+    import dataclasses
+
+    from codenerf_tpu.config import TrainOccupancyConfig
+    from codenerf_tpu.core.occupancy import OccupancyGrid
+
+    def occ_hp(composite):
+        hp = _fused_hparams(fused_composite=composite)
+        return dataclasses.replace(
+            hp,
+            render=dataclasses.replace(hp.render, bound_sphere_radius=1.3),
+            train_occupancy=TrainOccupancyConfig(grid_size=8),
+        )
+
+    occ = jnp.zeros((8, 8, 8), bool).at[:, :, :4].set(True)
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.3, jnp.float32))
+
+    results = []
+    for composite in (True, False):
+        hp = occ_hp(composite)
+        state, step_fn, pipe = _step_setup(hp, batch_rays=32)
+        batch = pipe.sample(32)
+        s, m = jax.jit(step_fn)(state, batch, grid)
+        assert np.isfinite(float(m["loss"]))
+        results.append((s, m))
+    np.testing.assert_allclose(float(results[0][1]["loss"]),
+                               float(results[1][1]["loss"]), rtol=1e-4)
+    a = np.asarray(results[0][0].trainables["params"]["enc_xyz"]["w"],
+                   np.float32)
+    b = np.asarray(results[1][0].trainables["params"]["enc_xyz"]["w"],
+                   np.float32)
+    np.testing.assert_allclose(a, b, atol=2e-3)

@@ -33,11 +33,26 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--out", type=str, default="/tmp/codenerf_quality")
+    ap.add_argument("--use_fused", action="store_true",
+                    help="single-pass fused training kernels + codes-only "
+                         "fused test-time optimization")
+    ap.add_argument("--bound_radius", type=float, default=None,
+                    help="per-ray bounding-sphere sampling (synthetic "
+                         "objects fit in 1.4)")
+    ap.add_argument("--occ", action="store_true",
+                    help="training-time occupancy-grid sampling "
+                         "(requires --bound_radius)")
     args = ap.parse_args()
 
     import jax
 
-    from codenerf_tpu.config import Hparams, LrSchedule, NetConfig, RenderConfig
+    from codenerf_tpu.config import (
+        Hparams,
+        LrSchedule,
+        NetConfig,
+        RenderConfig,
+        TrainOccupancyConfig,
+    )
     from codenerf_tpu.data.synthetic import synthetic_scene
     from codenerf_tpu.models.codes import mean_code
     from codenerf_tpu.optimization.codes_opt import CodeOptimizer
@@ -61,10 +76,13 @@ def main() -> None:
         net=NetConfig(shape_blocks=3, texture_blocks=1, W=256,
                       num_xyz_freq=10, num_dir_freq=4, latent_dim=256),
         render=RenderConfig(n_samples=args.samples, near=scene["near"],
-                            far=scene["far"]),
+                            far=scene["far"],
+                            bound_sphere_radius=args.bound_radius),
         lr_model=LrSchedule(5e-4, 1_000_000),
         lr_codes=LrSchedule(5e-3, 1_000_000),
         check_points=0,
+        use_fused_train=args.use_fused,
+        train_occupancy=TrainOccupancyConfig() if args.occ else None,
     )
     t0 = time.time()
     trainer = Trainer("quality", hp, batch_size=8192, dataset=train_scene,
@@ -117,6 +135,8 @@ def main() -> None:
             f"{hp.net.texture_blocks} blocks, {args.samples} samples/ray, "
             f"{args.size}x{args.size} images, {args.n_train_objects} train / "
             f"{args.n_test_objects} held-out objects, {args.n_views} views\n"
+            f"- kernels/sampling: use_fused={args.use_fused}, "
+            f"bound_radius={args.bound_radius}, occupancy={args.occ}\n"
             f"- training: {args.steps} steps (crop->full), "
             f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
