@@ -118,6 +118,155 @@ def flatten_params_f32(params, cfg: NetConfig) -> List[jnp.ndarray]:
     return out
 
 
+def _tile_helpers(cfg: NetConfig, S: int, T: int, w_refs, idx_of):
+    """Shared per-tile closures for the training kernels (weight/bias ref
+    accessors and the f32-accumulating dot products)."""
+    import types
+
+    P = T * S
+    W = cfg.W
+    f32 = jnp.float32
+
+    def w(name):
+        return w_refs[2 * idx_of[name]][...]
+
+    def b(name):
+        return w_refs[2 * idx_of[name] + 1][...]
+
+    def dot(x, wm):  # (P, A) @ (A, B) -> f32
+        return jax.lax.dot_general(
+            x, wm, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def dot_t(g, wm):  # (P, B) @ (A, B)^T -> (P, A) f32
+        return jax.lax.dot_general(
+            g, wm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+
+    def dot_acc(x, g):  # (P, A)^T @ (P, B) -> (A, B) f32
+        return jax.lax.dot_general(
+            x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+
+    def ray_sum(x):  # (P, W) f32 -> (T, W)
+        return jnp.sum(x.reshape(T, S, W), axis=1)
+
+    def inject(y, z_tile):
+        return (y.reshape(T, S, W) + z_tile[:, None, :].astype(y.dtype)
+                ).reshape(P, W)
+
+    return types.SimpleNamespace(w=w, b=b, dot=dot, dot_t=dot_t,
+                                 dot_acc=dot_acc, ray_sum=ray_sum,
+                                 inject=inject)
+
+
+def _tile_forward(cfg: NetConfig, S: int, T: int, h, pe, sproj, tproj,
+                  vcontrib):
+    """Forward over one T-ray tile; the returned activations live in VMEM
+    for the kernel's duration (the backward chain reads them directly).
+    ``pe`` is the bf16 in-kernel positional encoding. ``sig_pre`` is kept
+    (T, S) f32 — Mosaic cannot reshape (T, S) <-> (P, 1), so the whole
+    sigma chain stays rays-by-samples."""
+    import jax.nn as jnn
+
+    P = T * S
+    W = cfg.W
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    y0 = jnn.relu(h.dot(pe, h.w("enc_xyz")) + h.b("enc_xyz")).astype(bf16)
+    ys = []
+    cur = y0
+    for j in range(cfg.shape_blocks):
+        xj = h.inject(cur, sproj[:, j, :])
+        cur = jnn.relu(
+            h.dot(xj, h.w(f"shape_{j}")) + h.b(f"shape_{j}")).astype(bf16)
+        ys.append(cur)
+    t = (h.dot(cur, h.w("enc_shape")) + h.b("enc_shape")).astype(bf16)
+    w_sig = h.w("sigma")                          # (W,) f32
+    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1
+                      ).reshape(T, S) + h.b("sigma")[0]
+    u = h.dot(t, h.w("enc_viewdir_pt"))
+    yv = jnn.relu(
+        u.reshape(T, S, W) + vcontrib[:, None, :].astype(f32)
+    ).reshape(P, W).astype(bf16)
+    yts = []
+    cur = yv
+    for j in range(cfg.texture_blocks):
+        xtj = h.inject(cur, tproj[:, j, :])
+        cur = jnn.relu(
+            h.dot(xtj, h.w(f"texture_{j}")) + h.b(f"texture_{j}")
+        ).astype(bf16)
+        yts.append(cur)
+    r = jnn.relu(h.dot(cur, h.w("rgb_hidden")) + h.b("rgb_hidden")
+                 ).astype(bf16)
+    return dict(pe=pe, y0=y0, ys=ys, t=t, sig_pre=sig_pre, w_sig=w_sig,
+                yv=yv, yts=yts, r=r)
+
+
+def _tile_backward(cfg: NetConfig, S: int, T: int, h, acts, sproj, tproj,
+                   g_sigma, g8_3, acc, dwb_refs, idx_of,
+                   weight_grads: bool,
+                   d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
+                   want_input_chain: bool):
+    """dx/dW chain over one tile given the sigma-plane cotangent ``g_sigma``
+    ((T, S) f32) and rgb cotangents ``g8_3`` ((T, S, 8)). Writes the
+    per-ray code cotangents; dW flows through ``acc``. Returns the
+    enc_xyz-layer cotangent (bf16) when ``want_input_chain`` — the caller
+    finishes the PE/xyz Jacobian — else None. Cotangent planes stay
+    (T, S); per-point forms are built with 3-D broadcasts."""
+    import jax.nn as jnn
+
+    P = T * S
+    W = cfg.W
+    f32, bf16 = jnp.float32, jnp.bfloat16
+    nb, nt = cfg.shape_blocks, cfg.texture_blocks
+    pe, y0, ys, t, sig_pre, w_sig, yv, yts, r = (
+        acts["pe"], acts["y0"], acts["ys"], acts["t"], acts["sig_pre"],
+        acts["w_sig"], acts["yv"], acts["yts"], acts["r"])
+    t_in = ys[-1]
+    r_in = yts[-1]
+
+    # rgb_out is linear; its w is (W/2, 8) with real rgb in cols 0..2
+    gh8 = g8_3.reshape(P, 8).astype(bf16)
+    acc("rgb_out", r, gh8)
+    gr = h.dot_t(gh8, h.w("rgb_out"))            # (P, W/2) f32
+    gh = (gr * (r.astype(f32) > 0)).astype(bf16)
+    acc("rgb_hidden", r_in, gh)
+    g_cur = h.dot_t(gh, h.w("rgb_hidden"))       # (P, W) f32
+    for j in reversed(range(nt)):
+        gh = (g_cur * (yts[j].astype(f32) > 0)).astype(bf16)
+        xtj = h.inject(yts[j - 1] if j > 0 else yv, tproj[:, j, :])
+        acc(f"texture_{j}", xtj, gh)
+        g_cur = h.dot_t(gh, h.w(f"texture_{j}"))
+        d_tproj_ref[:, j, :] = h.ray_sum(g_cur).astype(bf16)
+    gu = g_cur * (yv.astype(f32) > 0)            # (P, W) f32
+    d_vcontrib_ref[...] = h.ray_sum(gu).astype(bf16)
+    gu16 = gu.astype(bf16)
+    acc("enc_viewdir_pt", t, gu16)
+    g_t = h.dot_t(gu16, h.w("enc_viewdir_pt"))
+    # sigma head: d/dpre softplus = sigmoid(pre); all in (T, S, .) space
+    dsig = g_sigma * jnn.sigmoid(sig_pre)        # (T, S) f32
+    g_t = (g_t.reshape(T, S, W)
+           + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
+    if weight_grads:
+        jsig = idx_of["sigma"]
+        t_dsig = (t.astype(f32).reshape(T, S, W)
+                  * dsig[:, :, None]).reshape(P, W)
+        dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
+        dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
+    gh = g_t.astype(bf16)                        # enc_shape is linear
+    acc("enc_shape", t_in, gh)
+    g_cur = h.dot_t(gh, h.w("enc_shape"))
+    for j in reversed(range(nb)):
+        gh = (g_cur * (ys[j].astype(f32) > 0)).astype(bf16)
+        xj = h.inject(ys[j - 1] if j > 0 else y0, sproj[:, j, :])
+        acc(f"shape_{j}", xj, gh)
+        g_cur = h.dot_t(gh, h.w(f"shape_{j}"))
+        d_sproj_ref[:, j, :] = h.ray_sum(g_cur).astype(bf16)
+    if weight_grads or want_input_chain:
+        gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
+        acc("enc_xyz", pe, gh)
+        if want_input_chain:
+            return gh
+    return None
+
+
 def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
                 input_grads: bool, *refs):
     """Backward kernel body. Ref order:
@@ -175,30 +324,7 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
                 dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
                 dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
 
-    def w(name):
-        return w_refs[2 * idx_of[name]][...]
-
-    def b(name):
-        return w_refs[2 * idx_of[name] + 1][...]
-
-    def dot(x, wm):  # (P, A) @ (A, B) -> f32
-        return jax.lax.dot_general(
-            x, wm, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-
-    def dot_t(g, wm):  # (P, B) @ (A, B)^T -> (P, A) f32
-        return jax.lax.dot_general(
-            g, wm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-    def dot_acc(x, g):  # (P, A)^T @ (P, B) -> (A, B) f32
-        return jax.lax.dot_general(
-            x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-
-    def ray_sum(x):  # (P, W) f32 -> (T, W)
-        return jnp.sum(x.reshape(T, S, W), axis=1)
-
-    def inject(y, z_tile):
-        return (y.reshape(T, S, W) + z_tile[:, None, :].astype(y.dtype)
-                ).reshape(P, W)
+    h = _tile_helpers(cfg, S, T, w_refs, idx_of)
 
     # ---------------- forward recompute (activations stay in VMEM)
     ro8 = ro_ref[...]                                     # (T, 8) f32
@@ -211,41 +337,10 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
     pe = pe_f32.astype(bf16)
     sproj = sproj_ref[...]
     tproj = tproj_ref[...]
-    vcontrib = vcontrib_ref[...]
+    acts = _tile_forward(cfg, S, T, h, pe, sproj, tproj, vcontrib_ref[...])
 
-    y0 = jnn.relu(dot(pe, w("enc_xyz")) + b("enc_xyz")).astype(bf16)
-    ys = []
-    cur = y0
-    for j in range(nb):
-        xj = inject(cur, sproj[:, j, :])
-        cur = jnn.relu(dot(xj, w(f"shape_{j}")) + b(f"shape_{j}")).astype(bf16)
-        ys.append(cur)
-    t_in = cur
-    t = (dot(t_in, w("enc_shape")) + b("enc_shape")).astype(bf16)
-    w_sig = w_refs[2 * idx_of["sigma"]][...]      # (W,) f32
-    b_sig = w_refs[2 * idx_of["sigma"] + 1][...]  # (1,) f32
-    # sigma pre-activation in (T, S) form — Mosaic cannot reshape
-    # (T, S) <-> (P, 1), so the whole sigma chain stays rays-by-samples
-    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1
-                      ).reshape(T, S) + b_sig[0]   # (T, S) f32
-    u = dot(t, w("enc_viewdir_pt"))
-    yv = jnn.relu(
-        u.reshape(T, S, W) + vcontrib[:, None, :].astype(f32)
-    ).reshape(P, W).astype(bf16)
-    yts = []
-    cur = yv
-    for j in range(nt):
-        xtj = inject(cur, tproj[:, j, :])
-        cur = jnn.relu(
-            dot(xtj, w(f"texture_{j}")) + b(f"texture_{j}")).astype(bf16)
-        yts.append(cur)
-    r_in = cur
-    r = jnn.relu(dot(r_in, w("rgb_hidden")) + b("rgb_hidden")).astype(bf16)
-
-    # ---------------- backward chain
-    # Cotangent planes stay (T, S); per-point forms are built with 3-D
-    # broadcasts (Mosaic cannot reshape (T, S) <-> (P, 1)). One-hot lane
-    # masks come from iota (kernels cannot capture array constants).
+    # ---------------- backward chain (one-hot lane masks from iota —
+    # kernels cannot capture array constants)
     g_sigma = gsig_ref[...]                               # (T, S) f32
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, S, 8), 2)
     g8_3 = (jnp.where(lane == 0, gr_ref[...][:, :, None], 0.0)
@@ -256,51 +351,15 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
         if not weight_grads:
             return
         j = idx_of[name]
-        dwb_refs[2 * j][...] += dot_acc(x, gh)
+        dwb_refs[2 * j][...] += h.dot_acc(x, gh)
         dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
 
-    # rgb_out is linear; its w is (W/2, 8) with real rgb in cols 0..2
-    gh8 = g8_3.reshape(P, 8).astype(bf16)
-    acc("rgb_out", r, gh8)
-    gr = dot_t(gh8, w("rgb_out"))            # (P, W/2) f32
-    gh = (gr * (r.astype(f32) > 0)).astype(bf16)
-    acc("rgb_hidden", r_in, gh)
-    g_cur = dot_t(gh, w("rgb_hidden"))       # (P, W) f32
-    for j in reversed(range(nt)):
-        gh = (g_cur * (yts[j].astype(f32) > 0)).astype(bf16)
-        xtj = inject(yts[j - 1] if j > 0 else yv, tproj[:, j, :])
-        acc(f"texture_{j}", xtj, gh)
-        g_cur = dot_t(gh, w(f"texture_{j}"))
-        d_tproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
-    gu = g_cur * (yv.astype(f32) > 0)        # (P, W) f32
-    d_vcontrib_ref[...] = ray_sum(gu).astype(bf16)
-    gu16 = gu.astype(bf16)
-    acc("enc_viewdir_pt", t, gu16)
-    g_t = dot_t(gu16, w("enc_viewdir_pt"))
-    # sigma head: d/dpre softplus = sigmoid(pre); all in (T, S, .) space
-    dsig = g_sigma * jnn.sigmoid(sig_pre)    # (T, S) f32
-    g_t = (g_t.reshape(T, S, W)
-           + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
-    if weight_grads:
-        jsig = idx_of["sigma"]
-        t_dsig = (t.astype(f32).reshape(T, S, W)
-                  * dsig[:, :, None]).reshape(P, W)
-        dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
-        dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
-    gh = g_t.astype(bf16)                    # enc_shape is linear
-    acc("enc_shape", t_in, gh)
-    g_cur = dot_t(gh, w("enc_shape"))
-    for j in reversed(range(nb)):
-        gh = (g_cur * (ys[j].astype(f32) > 0)).astype(bf16)
-        xj = inject(ys[j - 1] if j > 0 else y0, sproj[:, j, :])
-        acc(f"shape_{j}", xj, gh)
-        g_cur = dot_t(gh, w(f"shape_{j}"))
-        d_sproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
-    if weight_grads or input_grads:
-        gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
-        acc("enc_xyz", pe, gh)
+    gh = _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
+                        acc, dwb_refs, idx_of, weight_grads,
+                        d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
+                        want_input_chain=input_grads)
     if input_grads:
-        d_pe = dot_t(gh, w("enc_xyz"))                        # (P, 64) f32
+        d_pe = h.dot_t(gh, h.w("enc_xyz"))                    # (P, 64) f32
         dpe_dt = m_id + m_sin * jnp.cos(t_pe) - m_cos * jnp.sin(t_pe)
         d_xyz8 = jax.lax.dot_general(
             d_pe * dpe_dt, peA,
@@ -363,30 +422,7 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
             dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
             dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
 
-    def w(name):
-        return w_refs[2 * idx_of[name]][...]
-
-    def b(name):
-        return w_refs[2 * idx_of[name] + 1][...]
-
-    def dot(x, wm):
-        return jax.lax.dot_general(
-            x, wm, (((1,), (0,)), ((), ())), preferred_element_type=f32)
-
-    def dot_t(g, wm):
-        return jax.lax.dot_general(
-            g, wm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-
-    def dot_acc(x, g):
-        return jax.lax.dot_general(
-            x, g, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-
-    def ray_sum(x):
-        return jnp.sum(x.reshape(T, S, W), axis=1)
-
-    def inject(y, z_tile):
-        return (y.reshape(T, S, W) + z_tile[:, None, :].astype(y.dtype)
-                ).reshape(P, W)
+    h = _tile_helpers(cfg, S, T, w_refs, idx_of)
 
     # ---------------- forward (activations stay live in VMEM)
     ro8 = ro_ref[...]
@@ -399,36 +435,9 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     pe = pe_f32.astype(bf16)
     sproj = sproj_ref[...]
     tproj = tproj_ref[...]
-    vcontrib = vcontrib_ref[...]
-
-    y0 = jnn.relu(dot(pe, w("enc_xyz")) + b("enc_xyz")).astype(bf16)
-    ys = []
-    cur = y0
-    for j in range(nb):
-        xj = inject(cur, sproj[:, j, :])
-        cur = jnn.relu(dot(xj, w(f"shape_{j}")) + b(f"shape_{j}")).astype(bf16)
-        ys.append(cur)
-    t_in = cur
-    t = (dot(t_in, w("enc_shape")) + b("enc_shape")).astype(bf16)
-    w_sig = w_refs[2 * idx_of["sigma"]][...]
-    b_sig = w_refs[2 * idx_of["sigma"] + 1][...]
-    sig_pre = jnp.sum(t.astype(f32) * w_sig[None, :], axis=-1
-                      ).reshape(T, S) + b_sig[0]
-    u = dot(t, w("enc_viewdir_pt"))
-    yv = jnn.relu(
-        u.reshape(T, S, W) + vcontrib[:, None, :].astype(f32)
-    ).reshape(P, W).astype(bf16)
-    yts = []
-    cur = yv
-    for j in range(nt):
-        xtj = inject(cur, tproj[:, j, :])
-        cur = jnn.relu(
-            dot(xtj, w(f"texture_{j}")) + b(f"texture_{j}")).astype(bf16)
-        yts.append(cur)
-    r_in = cur
-    r = jnn.relu(dot(r_in, w("rgb_hidden")) + b("rgb_hidden")).astype(bf16)
-    rgb8 = dot(r, w("rgb_out")) + b("rgb_out")          # (P, 8) f32
-    sigma = jnn.softplus(sig_pre)                       # (T, S) f32
+    acts = _tile_forward(cfg, S, T, h, pe, sproj, tproj, vcontrib_ref[...])
+    rgb8 = h.dot(acts["r"], h.w("rgb_out")) + h.b("rgb_out")  # (P, 8) f32
+    sigma = jnn.softplus(acts["sig_pre"])                     # (T, S) f32
     rgb3 = rgb8.reshape(T, S, 8)
     c0, c1, c2 = rgb3[:, :, 0], rgb3[:, :, 1], rgb3[:, :, 2]
 
@@ -448,8 +457,6 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
         sigma, c0, c1, c2, z, g8, aux, white_bg)
 
     # ---------------- backward chain (stored activations — no recompute)
-    # d softplus handled below via sigmoid(sig_pre); rgb plane cotangents
-    # assemble into the (P, 8) layout of the rgb head.
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, S, 8), 2)
     g8_3 = (jnp.where(lane == 0, gc0[:, :, None], 0.0)
             + jnp.where(lane == 1, gc1[:, :, None], 0.0)
@@ -457,45 +464,13 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
 
     def acc(name, x, gh):
         j = idx_of[name]
-        dwb_refs[2 * j][...] += dot_acc(x, gh)
+        dwb_refs[2 * j][...] += h.dot_acc(x, gh)
         dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
 
-    gh8 = g8_3.reshape(P, 8).astype(bf16)
-    acc("rgb_out", r, gh8)
-    gr = dot_t(gh8, w("rgb_out"))
-    gh = (gr * (r.astype(f32) > 0)).astype(bf16)
-    acc("rgb_hidden", r_in, gh)
-    g_cur = dot_t(gh, w("rgb_hidden"))
-    for j in reversed(range(nt)):
-        gh = (g_cur * (yts[j].astype(f32) > 0)).astype(bf16)
-        xtj = inject(yts[j - 1] if j > 0 else yv, tproj[:, j, :])
-        acc(f"texture_{j}", xtj, gh)
-        g_cur = dot_t(gh, w(f"texture_{j}"))
-        d_tproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
-    gu = g_cur * (yv.astype(f32) > 0)
-    d_vcontrib_ref[...] = ray_sum(gu).astype(bf16)
-    gu16 = gu.astype(bf16)
-    acc("enc_viewdir_pt", t, gu16)
-    g_t = dot_t(gu16, w("enc_viewdir_pt"))
-    dsig = g_sigma * jnn.sigmoid(sig_pre)
-    g_t = (g_t.reshape(T, S, W)
-           + dsig[:, :, None] * w_sig[None, None, :]).reshape(P, W)
-    jsig = idx_of["sigma"]
-    t_dsig = (t.astype(f32).reshape(T, S, W)
-              * dsig[:, :, None]).reshape(P, W)
-    dwb_refs[2 * jsig][...] += jnp.sum(t_dsig, axis=0)
-    dwb_refs[2 * jsig + 1][...] += jnp.broadcast_to(jnp.sum(dsig), (1,))
-    gh = g_t.astype(bf16)
-    acc("enc_shape", t_in, gh)
-    g_cur = dot_t(gh, w("enc_shape"))
-    for j in reversed(range(nb)):
-        gh = (g_cur * (ys[j].astype(f32) > 0)).astype(bf16)
-        xj = inject(ys[j - 1] if j > 0 else y0, sproj[:, j, :])
-        acc(f"shape_{j}", xj, gh)
-        g_cur = dot_t(gh, w(f"shape_{j}"))
-        d_sproj_ref[:, j, :] = ray_sum(g_cur).astype(bf16)
-    gh = (g_cur * (y0.astype(f32) > 0)).astype(bf16)
-    acc("enc_xyz", pe, gh)
+    _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
+                   acc, dwb_refs, idx_of, True,
+                   d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
+                   want_input_chain=False)
 
 
 def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
