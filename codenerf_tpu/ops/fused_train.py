@@ -764,6 +764,57 @@ def make_fused_codes_op(cfg: NetConfig):
     return op
 
 
+def make_fused_pose_op(cfg: NetConfig):
+    """Frozen-model op with INPUT gradients for POSE optimization: the
+    backward kernel runs with ``weight_grads=False, input_grads=True`` —
+    pose refinement differentiates through ray origins/directions (and z,
+    which tracks the refined pose through the per-ray sphere bounds) plus
+    the codes, but never through the weights (CodeNeRF §4.3; the model is
+    frozen at test time, reference ``src/optimizer.py:195-198``)."""
+
+    @jax.custom_vjp
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+
+    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        R, S = z.shape
+        wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
+        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
+                                    vcontrib, wb)
+
+    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
+
+    def bwd_rule(res, g):
+        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
+        R, S = z.shape
+        g_planes = tuple(x.astype(jnp.float32) for x in g)
+        (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib) = _invoke_bwd(
+            cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib, wflat, g_planes,
+            weight_grads=False, input_grads=True)
+        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib,
+                *(jnp.zeros_like(w) for w in wflat))
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op
+
+
+def make_fused_pose_composite_op(cfg: NetConfig, white_bg: bool = True):
+    """Pose-opt analog of :func:`make_fused_codes_composite_op` (the
+    composite's dz cotangent chains into the pose through the sampler)."""
+    from codenerf_tpu.ops.pallas_composite import make_composite_op
+
+    plane_op = make_fused_pose_op(cfg)
+    comp_op = make_composite_op(white_bg=white_bg)
+
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return comp_op(sig, r, g, b, z)
+
+    return op
+
+
 def make_fused_codes_composite_op(cfg: NetConfig, white_bg: bool = True):
     """Codes-only analog of :func:`make_fused_train_composite_op`: the
     codes-only plane op chained into the fat-tile Pallas composite

@@ -61,16 +61,19 @@ def _chunked(x: jnp.ndarray, chunk: int, n_padded: int):
 
 
 def build_fused_codes_fns(hp: Hparams, chunk: int, *,
-                          use_fused: Optional[bool] = None):
-    """Resolve the fused-kernel configuration for codes-only optimization.
+                          use_fused: Optional[bool] = None,
+                          input_grads: bool = False):
+    """Resolve the fused-kernel configuration for frozen-model (test-time)
+    optimization.
 
     Returns ``(apply_fn, composite_fn)`` for :func:`renderer.render_rays`
     — both ``None`` when the XLA path should run. ``use_fused=None``
     defers to ``hp.use_fused_train`` and quietly falls back to XLA when
     the architecture/chunk can't tile; ``use_fused=True`` raises instead.
-    The ops are the CODES-ONLY variants (``ops/fused_train
-    .make_fused_codes_op``): their backward kernel skips the dW
-    accumulation and input chains the frozen-model phase never needs."""
+    ``input_grads=False`` selects the CODES-ONLY op variants (backward
+    skips the dW accumulation and input chains); ``input_grads=True``
+    selects the POSE variants (ray/depth cotangents kept — pose
+    optimization differentiates through ray generation)."""
     from codenerf_tpu.ops import fused_train as ft
 
     net_cfg, rcfg = hp.net, hp.render
@@ -92,10 +95,15 @@ def build_fused_codes_fns(hp: Hparams, chunk: int, *,
                 f"samples={sample_counts})")
         return None, None
 
+    if input_grads:
+        make_plane = ft.make_fused_pose_op
+        make_comp = ft.make_fused_pose_composite_op
+    else:
+        make_plane = ft.make_fused_codes_op
+        make_comp = ft.make_fused_codes_composite_op
     fuse_composite = hp.fused_composite and rcfg.n_importance == 0
     if fuse_composite:
-        _op = ft.make_fused_codes_composite_op(net_cfg,
-                                               white_bg=rcfg.white_bg)
+        _op = make_comp(net_cfg, white_bg=rcfg.white_bg)
 
         def composite_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
             return ft.fused_render_train(p, cfg, ray_o, viewdir, z_vals,
@@ -104,7 +112,7 @@ def build_fused_codes_fns(hp: Hparams, chunk: int, *,
 
         return None, composite_fn
 
-    _op = ft.make_fused_codes_op(net_cfg)
+    _op = make_plane(net_cfg)
 
     def apply_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
         return ft.fused_apply_train(p, cfg, ray_o, viewdir, z_vals,

@@ -53,6 +53,7 @@ def optimize_pose_and_codes(
     optimize_codes: bool = True,
     pose_only_steps: int = 0,
     fine_params=None,
+    use_fused=None,
 ) -> PoseOptimizationResult:
     """Jointly refine (pose, codes) against one target image.
 
@@ -60,13 +61,22 @@ def optimize_pose_and_codes(
     ``pose_only_steps > 0`` freezes the codes for the first k steps — the
     pose/code ambiguity means free codes can absorb a pose error instead of
     the pose correcting, so registering the pose first is usually better.
+
+    ``use_fused`` (default: ``hp.use_fused_train``) runs each step through
+    the pose-variant fused Pallas kernels (frozen weights, ray/depth
+    cotangents kept — the pose gradient flows through ray generation both
+    in-kernel and through the per-ray prologue).
     """
+    from codenerf_tpu.optimization.codes_opt import build_fused_codes_fns
+
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     H, W = image.shape[0], image.shape[1]
     flat_rgb = image.reshape(-1, 3).astype(jnp.float32)
     init_c2w = jnp.asarray(init_c2w, jnp.float32)
     rays_per_step = min(rays_per_step, H * W)
+    apply_fn, composite_fn = build_fused_codes_fns(
+        hp, rays_per_step, use_fused=use_fused, input_grads=True)
 
     tx = optax.multi_transform(
         {
@@ -94,6 +104,7 @@ def optimize_pose_and_codes(
             params, net_cfg, rcfg, ro, vd, shape_code, texture_code,
             jax.random.fold_in(step_key, 1),
             fine_params=fine_params, compute_dtype=compute_dtype,
+            apply_fn=apply_fn, composite_fn=composite_fn,
         )
         gt = flat_rgb[pix]
         mse = jnp.mean((res.final.rgb - gt) ** 2)

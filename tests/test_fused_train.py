@@ -511,3 +511,64 @@ def test_fused_train_with_occupancy_grid():
     b = np.asarray(results[1][0].trainables["params"]["enc_xyz"]["w"],
                    np.float32)
     np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_fused_pose_op_grads():
+    """The pose-variant op (frozen weights, input cotangents kept) must
+    match the full train op's gradients for rays/depths/codes."""
+    from codenerf_tpu.ops.fused_train import (
+        make_fused_pose_op,
+        make_fused_train_op,
+    )
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 16
+    ro, vd, z, sc, tc, tgt_s, tgt_r = _setup(cfg, R, S)
+    pose_op = make_fused_pose_op(cfg)
+    full_op = make_fused_train_op(cfg)
+
+    def mk_loss(op):
+        def loss(ro, vd, z, sc, tc):
+            s, planes = fused_apply_train(params, cfg, ro, vd, z, sc, tc,
+                                          op=op)
+            r = jnp.stack(planes, axis=-1)
+            return jnp.mean((s - tgt_s) ** 2) + jnp.mean((r - tgt_r) ** 2)
+        return loss
+
+    gp = jax.grad(mk_loss(pose_op), (0, 1, 2, 3, 4))(ro, vd, z, sc, tc)
+    gf = jax.grad(mk_loss(full_op), (0, 1, 2, 3, 4))(ro, vd, z, sc, tc)
+    for name, a, b in zip(["ro", "vd", "z", "sc", "tc"], gp, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7, err_msg=name)
+
+
+def test_pose_opt_fused_matches_xla():
+    """optimize_pose_and_codes on the fused pose kernels: trajectory must
+    track the XLA path and actually reduce the pose error."""
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.optimization.pose_opt import optimize_pose_and_codes
+
+    hp = _fused_hparams(n_samples=8)
+    scene = synthetic_scene(n_objects=1, n_views=2, H=16, W=16, seed=4)
+    import dataclasses
+    hp = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, near=scene["near"],
+                                       far=scene["far"]))
+    params = init_codenerf(jax.random.PRNGKey(1), hp.net)
+    img = jnp.asarray(scene["images"][0, 0], jnp.float32) / 255.0
+    c2w = jnp.asarray(scene["poses"][0, 0])
+    init = jnp.zeros((hp.net.latent_dim,))
+
+    kwargs = dict(num_opts=3, rays_per_step=64, lr_codes=1e-2,
+                  lr_pose=1e-2, lr_half_interval=2)
+    res_f = optimize_pose_and_codes(
+        params, hp, img, c2w, float(scene["focals"][0]), init, init,
+        jax.random.PRNGKey(0), use_fused=True, **kwargs)
+    res_x = optimize_pose_and_codes(
+        params, hp, img, c2w, float(scene["focals"][0]), init, init,
+        jax.random.PRNGKey(0), use_fused=False, **kwargs)
+    np.testing.assert_allclose(np.asarray(res_f.psnr_history),
+                               np.asarray(res_x.psnr_history), atol=0.3)
+    np.testing.assert_allclose(np.asarray(res_f.xi), np.asarray(res_x.xi),
+                               atol=3e-2)
