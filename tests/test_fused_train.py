@@ -572,3 +572,53 @@ def test_pose_opt_fused_matches_xla():
                                np.asarray(res_x.psnr_history), atol=0.3)
     np.testing.assert_allclose(np.asarray(res_f.xi), np.asarray(res_x.xi),
                                atol=3e-2)
+
+
+def test_fused_train_with_multislice_mesh():
+    """Single-pass fused training under the 3-axis (replica, data, model)
+    multi-slice mesh: the loss/dW psums span BOTH batch axes; must match
+    single-device."""
+    import jax.numpy as jnp
+
+    from codenerf_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        state_shardings,
+    )
+    from codenerf_tpu.training.state import create_train_state
+    from codenerf_tpu.training.train_step import (
+        build_optimizer,
+        build_train_step,
+    )
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.data.pipeline import RayBatchPipeline
+
+    hp = _fused_hparams()
+    scene = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=2)
+    pipe = RayBatchPipeline(scene["images"], scene["poses"], scene["focals"])
+    tx = build_optimizer(hp)
+    batch = {k: jnp.asarray(v) for k, v in pipe.sample(256).items()}
+
+    state1 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    s1, m1 = jax.jit(build_train_step(hp, pipe.H, pipe.W, tx,
+                                      batch_size=256))(state1, batch)
+
+    mesh = make_mesh(replica=2, data=4, model=1)
+    state2 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    st_sh = state_shardings(mesh, state2)
+    b_sh = batch_sharding(mesh)
+    step2 = jax.jit(
+        build_train_step(hp, pipe.H, pipe.W, tx, batch_size=256, mesh=mesh),
+        in_shardings=(st_sh, {k: b_sh for k in batch}),
+        out_shardings=(st_sh, None),
+    )
+    state2 = jax.device_put(state2, st_sh)
+    s2, m2 = step2(state2, jax.device_put(batch, {k: b_sh for k in batch}))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainables),
+                    jax.tree_util.tree_leaves(s2.trainables)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=1e-5)
