@@ -622,3 +622,21 @@ def test_fused_train_with_multislice_mesh():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_fused_train_step_production_sample_count():
+    """S=48 — the production srncar_occ.json sample budget — through the
+    single-pass kernel: must match the XLA step's loss trajectory."""
+    hp_f = _fused_hparams(n_samples=48)
+    hp_x = _fused_hparams(n_samples=48, use_fused=False)
+    state_f, step_f, pipe = _step_setup(hp_f, batch_rays=32)
+    state_x, step_x, _ = _step_setup(hp_x, batch_rays=32)
+    jit_f, jit_x = jax.jit(step_f), jax.jit(step_x)
+    batch = pipe.sample(32)
+    losses_f, losses_x = [], []
+    for _ in range(3):
+        state_f, m_f = jit_f(state_f, batch)
+        state_x, m_x = jit_x(state_x, batch)
+        losses_f.append(float(m_f["loss"]))
+        losses_x.append(float(m_x["loss"]))
+    np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
