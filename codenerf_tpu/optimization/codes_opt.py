@@ -237,9 +237,11 @@ def optimize_codes(
     n_rays = ray_o.shape[0]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
     n_chunks = n_padded // chunk
-    cache_key = (hp, n_rays, chunk, n_chunks, num_opts, lr,
-                 lr_half_interval, reference_resets, use_fused,
-                 fine_params is None)
+    # hp.raw (the original JSON dict) is unhashable and irrelevant to the
+    # compiled program — key on the typed config only.
+    cache_key = (dataclasses.replace(hp, raw=None), n_rays, chunk, n_chunks,
+                 num_opts, lr, lr_half_interval, reference_resets,
+                 use_fused, fine_params is None)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run(
             hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,

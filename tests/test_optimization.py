@@ -187,3 +187,19 @@ def test_pose_only_warmup_freezes_codes(trained):
                                   np.asarray(tex0))
     # ...and the pose DID move (some gradient was applied)
     assert float(jnp.abs(res.xi).max()) > 0.0
+
+
+def test_code_optimization_with_raw_hparams(trained):
+    """Regression: CLI-loaded Hparams carry the raw JSON dict (unhashable);
+    the jitted-run cache must key on the typed config only."""
+    import dataclasses
+
+    opt, tr, scene, hp = _make_optimizer(trained)
+    opt = dataclasses.replace(opt, hp=dataclasses.replace(hp, raw={"a": 1}))
+    obj = 0
+    result = opt.optimize_object(
+        _images_f32(scene, obj), scene["poses"][obj],
+        float(scene["focals"][obj]), tgt_views=[0],
+        key=jax.random.PRNGKey(0), num_opts=3,
+    )
+    assert np.isfinite(np.asarray(result.psnr_history)).all()
