@@ -35,12 +35,28 @@ import numpy as np
 
 class RenderServer:
     def __init__(self, trainables: Dict[str, Any], hp, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, use_occupancy: bool = False,
+                 occ_grid_size: int = 64,
+                 occ_radius: Optional[float] = None):
+        """``use_occupancy=True`` builds a per-object occupancy grid from
+        the trained density (lazily, cached per object) and renders with
+        empty-space skipping — 2-3x faster serves at iso-quality when the
+        config also uses a reduced sample budget. Needs a grid extent:
+        ``occ_radius`` or ``hp.render.bound_sphere_radius``."""
         import jax
 
         self.trainables = trainables
         self.hp = hp
         self.n_objects = int(np.asarray(trainables["shape_codes"]).shape[0])
+        self.use_occupancy = use_occupancy
+        self._occ_grid_size = occ_grid_size
+        self._occ_radius = occ_radius if occ_radius is not None \
+            else hp.render.bound_sphere_radius
+        if use_occupancy and self._occ_radius is None:
+            raise ValueError(
+                "use_occupancy needs a grid extent: pass occ_radius or set "
+                "bound_sphere_radius in the config")
+        self._occ_grids: Dict[int, Any] = {}
         self._render_fns: Dict[Tuple[int, int, bool], Any] = {}
         self._lock = threading.Lock()
         self._latencies = []
@@ -69,17 +85,46 @@ class RenderServer:
         if key not in self._render_fns:
             tr = self.trainables
 
-            def fn(c2w, focal, shape_code, texture_code, rng):
-                return render_image(
-                    tr["params"], self.hp.net, self.hp.render, H, W, focal,
-                    c2w, shape_code, texture_code,
-                    key=None if deterministic else rng,
-                    chunk=4096, fine_params=tr.get("fine_params"),
-                    compute_dtype=resolve_dtype(self.hp.compute_dtype),
-                )
+            if self.use_occupancy:
+                def fn(c2w, focal, shape_code, texture_code, rng, occ_grid):
+                    return render_image(
+                        tr["params"], self.hp.net, self.hp.render, H, W,
+                        focal, c2w, shape_code, texture_code,
+                        key=None if deterministic else rng,
+                        chunk=4096, fine_params=tr.get("fine_params"),
+                        compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                        occ_grid=occ_grid,
+                    )
+            else:
+                def fn(c2w, focal, shape_code, texture_code, rng):
+                    return render_image(
+                        tr["params"], self.hp.net, self.hp.render, H, W,
+                        focal, c2w, shape_code, texture_code,
+                        key=None if deterministic else rng,
+                        chunk=4096, fine_params=tr.get("fine_params"),
+                        compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                    )
 
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
+
+    def _get_occ_grid(self, obj: int, shape_code, texture_code):
+        """Per-object grid, built from the trained density on first use
+        (obj == -1: custom codes, built per request — the G^3 sigma eval
+        is one small batched MLP forward)."""
+        if obj >= 0 and obj in self._occ_grids:
+            return self._occ_grids[obj]
+        from codenerf_tpu.config import resolve_dtype
+        from codenerf_tpu.core.occupancy import build_occupancy_grid
+
+        grid = build_occupancy_grid(
+            self.trainables["params"], self.hp.net, shape_code, texture_code,
+            G=self._occ_grid_size, radius=float(self._occ_radius),
+            compute_dtype=resolve_dtype(self.hp.compute_dtype),
+        )
+        if obj >= 0:
+            self._occ_grids[obj] = grid
+        return grid
 
     def render(self, req: Dict[str, Any]) -> np.ndarray:
         import jax
@@ -108,6 +153,7 @@ class RenderServer:
             shape_code = self.trainables["shape_codes"][obj]
             texture_code = self.trainables["texture_codes"][obj]
         elif "shape_code" in req and "texture_code" in req:
+            obj = -1
             shape_code = jnp.asarray(req["shape_code"], jnp.float32)
             texture_code = jnp.asarray(req["texture_code"], jnp.float32)
         else:
@@ -117,8 +163,11 @@ class RenderServer:
         rng = jax.random.PRNGKey(int(req.get("seed", 0)))
         with self._lock:
             t0 = time.perf_counter()
-            img = np.asarray(fn(jnp.asarray(c2w), jnp.asarray(focal),
-                                shape_code, texture_code, rng))
+            args = (jnp.asarray(c2w), jnp.asarray(focal),
+                    shape_code, texture_code, rng)
+            if self.use_occupancy:
+                args += (self._get_occ_grid(obj, shape_code, texture_code),)
+            img = np.asarray(fn(*args))
             self._latencies.append(time.perf_counter() - t0)
             self._count += 1
         return np.clip(img * 255.0, 0, 255).astype(np.uint8)

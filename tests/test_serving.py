@@ -107,3 +107,52 @@ def test_stats_accumulate(server):
     assert s["requests"] >= 2
     assert s["latency_ms"]["p50"] > 0
     assert len(s["compiled_sizes"]) >= 1
+
+
+def test_render_with_occupancy_grid(trained):
+    """use_occupancy=True: the served render runs with per-object
+    empty-space skipping and still closely matches the plain render (the
+    grid only tightens sampling intervals around the trained density)."""
+    import dataclasses
+
+    import jax
+
+    from codenerf_tpu.serving import RenderServer
+
+    tr, scene, hp = trained
+    hp_b = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, bound_sphere_radius=1.4))
+    srv = RenderServer(tr.state.trainables, hp_b, port=0,
+                       use_occupancy=True, occ_grid_size=16)
+    srv_plain = RenderServer(tr.state.trainables, hp_b, port=0)
+    req = {"obj": 0, "azimuth": 0.6, "elevation": 0.3,
+           "radius": 1.3, "H": 16, "W": 16}
+    img_occ = srv.render(dict(req))
+    img_plain = srv_plain.render(dict(req))
+    assert img_occ.shape == (16, 16, 3)
+    # occupancy must reuse the cached per-object grid on a second call
+    assert 0 in srv._occ_grids
+    srv.render(dict(req))
+    # same scene content (interval tightening, not a different model)
+    diff = np.mean(np.abs(img_occ.astype(np.float32)
+                          - img_plain.astype(np.float32))) / 255.0
+    assert diff < 0.08, diff
+    # custom codes path builds a grid on the fly
+    t = tr.state.trainables
+    img_codes = srv.render({
+        "shape_code": np.asarray(t["shape_codes"][0]).tolist(),
+        "texture_code": np.asarray(t["texture_codes"][0]).tolist(),
+        "azimuth": 0.6, "elevation": 0.3, "radius": 1.3, "H": 16, "W": 16,
+    })
+    np.testing.assert_allclose(img_codes.astype(np.float32),
+                               img_occ.astype(np.float32), atol=25)
+
+
+def test_occupancy_requires_radius(trained):
+    import pytest as _pytest
+
+    from codenerf_tpu.serving import RenderServer
+
+    tr, scene, hp = trained
+    with _pytest.raises(ValueError, match="grid extent"):
+        RenderServer(tr.state.trainables, hp, port=0, use_occupancy=True)

@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--warmup", type=str, default="128x128",
                     help="comma-separated HxW sizes to pre-compile at boot "
                          "('' to skip); first request is then compile-free")
+    ap.add_argument("--occupancy", action="store_true",
+                    help="serve with per-object occupancy-grid empty-space "
+                         "skipping (needs bound_sphere_radius in the config "
+                         "or --occ_radius)")
+    ap.add_argument("--occ_radius", type=float, default=None)
     args = ap.parse_args()
 
     from codenerf_tpu.config import load_hparams
@@ -40,6 +45,7 @@ def main() -> None:
     server = RenderServer.from_checkpoint(
         os.path.join(args.exps_root, args.saved_dir), hp,
         host=args.host, port=args.port,
+        use_occupancy=args.occupancy, occ_radius=args.occ_radius,
     )
     for size in filter(None, args.warmup.split(",")):
         h, w = (int(x) for x in size.lower().split("x"))
