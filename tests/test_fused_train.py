@@ -640,3 +640,28 @@ def test_fused_train_step_production_sample_count():
         losses_f.append(float(m_f["loss"]))
         losses_x.append(float(m_x["loss"]))
     np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
+
+
+def test_fused_hierarchical_training_step():
+    """n_importance > 0 with use_fused_train: the step must route through
+    the plane op (weights plane needed for the inverse CDF), evaluate both
+    coarse and coarse+fine sample counts through the kernels, and track
+    the XLA hierarchical step."""
+    import dataclasses
+
+    hp_f = _fused_hparams(n_samples=8)
+    hp_f = dataclasses.replace(
+        hp_f, render=dataclasses.replace(hp_f.render, n_importance=8))
+    hp_x = dataclasses.replace(hp_f, use_fused_train=False)
+    state_f, step_f, pipe = _step_setup(hp_f, batch_rays=32)
+    state_x, step_x, _ = _step_setup(hp_x, batch_rays=32)
+    jit_f, jit_x = jax.jit(step_f), jax.jit(step_x)
+    batch = pipe.sample(32)
+    losses_f, losses_x = [], []
+    for _ in range(3):
+        state_f, m_f = jit_f(state_f, batch)
+        state_x, m_x = jit_x(state_x, batch)
+        losses_f.append(float(m_f["loss"]))
+        losses_x.append(float(m_x["loss"]))
+    np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
+    assert losses_f[-1] < losses_f[0]
