@@ -52,13 +52,19 @@ _BWD_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def fused_train_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
+    """True when the training/optimization kernels can tile this problem.
+    ``n_samples`` is currently UNCONSTRAINED (every kernel keeps the whole
+    sample axis in-tile, any S compiles) — the parameter exists so call
+    sites stay correct if a sample-axis constraint ever appears."""
+    del n_samples
     return (
         cfg.W % 128 == 0
         and (cfg.W // 2) % 128 == 0
         and cfg.d_xyz <= 64   # PE input is padded to 64 lanes
         and cfg.shape_blocks >= 1
         and cfg.texture_blocks >= 1
-        and n_rays % max(_TILE_RAYS, fused_mlp._TILE_RAYS) == 0
+        and n_rays % max(_TILE_RAYS, _TRAIN_TILE_RAYS,
+                         fused_mlp._TILE_RAYS) == 0
     )
 
 
@@ -200,22 +206,30 @@ def _tile_forward(cfg: NetConfig, S: int, T: int, h, pe, sproj, tproj,
 
 
 def _tile_backward(cfg: NetConfig, S: int, T: int, h, acts, sproj, tproj,
-                   g_sigma, g8_3, acc, dwb_refs, idx_of,
+                   g_sigma, g8_3, dwb_refs, idx_of,
                    weight_grads: bool,
                    d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
                    want_input_chain: bool):
     """dx/dW chain over one tile given the sigma-plane cotangent ``g_sigma``
     ((T, S) f32) and rgb cotangents ``g8_3`` ((T, S, 8)). Writes the
-    per-ray code cotangents; dW flows through ``acc``. Returns the
-    enc_xyz-layer cotangent (bf16) when ``want_input_chain`` — the caller
-    finishes the PE/xyz Jacobian — else None. Cotangent planes stay
-    (T, S); per-point forms are built with 3-D broadcasts."""
+    per-ray code cotangents; when ``weight_grads`` the dW/db pairs
+    accumulate into ``dwb_refs``. Returns the enc_xyz-layer cotangent
+    (bf16) when ``want_input_chain`` — the caller finishes the PE/xyz
+    Jacobian — else None. Cotangent planes stay (T, S); per-point forms
+    are built with 3-D broadcasts."""
     import jax.nn as jnn
 
     P = T * S
     W = cfg.W
     f32, bf16 = jnp.float32, jnp.bfloat16
     nb, nt = cfg.shape_blocks, cfg.texture_blocks
+
+    def acc(name, x, gh):
+        if not weight_grads:
+            return
+        j = idx_of[name]
+        dwb_refs[2 * j][...] += h.dot_acc(x, gh)
+        dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
     pe, y0, ys, t, sig_pre, w_sig, yv, yts, r = (
         acts["pe"], acts["y0"], acts["ys"], acts["t"], acts["sig_pre"],
         acts["w_sig"], acts["yv"], acts["yts"], acts["r"])
@@ -292,13 +306,10 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
     the first shape block (no enc_xyz backward, no PE Jacobian, no
     d_ro/d_vd/d_z), since codes only feed sproj/tproj/vcontrib.
     """
-    import jax.nn as jnn
     from jax.experimental import pallas as pl
 
     T = _TILE_RAYS
     P = T * S
-    W = cfg.W
-    nb, nt = cfg.shape_blocks, cfg.texture_blocks
     f32, bf16 = jnp.float32, jnp.bfloat16
     names = _weight_shapes(cfg)
     k = len(names)
@@ -347,15 +358,8 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
             + jnp.where(lane == 1, gg_ref[...][:, :, None], 0.0)
             + jnp.where(lane == 2, gb_ref[...][:, :, None], 0.0))
 
-    def acc(name, x, gh):
-        if not weight_grads:
-            return
-        j = idx_of[name]
-        dwb_refs[2 * j][...] += h.dot_acc(x, gh)
-        dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
-
     gh = _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
-                        acc, dwb_refs, idx_of, weight_grads,
+                        dwb_refs, idx_of, weight_grads,
                         d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
                         want_input_chain=input_grads)
     if input_grads:
@@ -399,8 +403,6 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
 
     T = _TRAIN_TILE_RAYS
     P = T * S
-    W = cfg.W
-    nb, nt = cfg.shape_blocks, cfg.texture_blocks
     f32, bf16 = jnp.float32, jnp.bfloat16
     names = _weight_shapes(cfg)
     k = len(names)
@@ -462,13 +464,8 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
             + jnp.where(lane == 1, gc1[:, :, None], 0.0)
             + jnp.where(lane == 2, gc2[:, :, None], 0.0))
 
-    def acc(name, x, gh):
-        j = idx_of[name]
-        dwb_refs[2 * j][...] += h.dot_acc(x, gh)
-        dwb_refs[2 * j + 1][...] += jnp.sum(gh.astype(f32), axis=0)
-
     _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
-                   acc, dwb_refs, idx_of, True,
+                   dwb_refs, idx_of, True,
                    d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
                    want_input_chain=False)
 
@@ -645,8 +642,73 @@ def _invoke_bwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
     return outs
 
 
+def _plane_fwd(cfg: NetConfig, ro8, vd8, z, sproj, tproj, vcontrib,
+               *wflat):
+    """Shared forward of every plane-op variant: cast the 2-D weights to
+    bf16 once in XLA and run the forward kernel."""
+    R, S = z.shape
+    wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
+    return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
+                                vcontrib, wb)
+
+
+def _make_plane_op(cfg: NetConfig, weight_grads: bool, input_grads: bool):
+    """One custom-VJP factory for every plane-op variant: the backward
+    kernel computes exactly the cotangents the mode needs
+    (``weight_grads``/``input_grads``) and the rest are returned as zeros
+    — XLA dead-code-eliminates them at the consumers."""
+
+    @jax.custom_vjp
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        return _plane_fwd(cfg, ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+
+    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        out = _plane_fwd(cfg, ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
+
+    def bwd_rule(res, g):
+        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
+        R, S = z.shape
+        g_planes = tuple(x.astype(jnp.float32) for x in g)
+        outs = list(_invoke_bwd(
+            cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib, wflat, g_planes,
+            weight_grads=weight_grads, input_grads=input_grads))
+        if input_grads:
+            d_ro8, d_vd8, d_z = outs[:3]
+            outs = outs[3:]
+        else:
+            d_ro8, d_vd8, d_z = (jnp.zeros_like(ro8), jnp.zeros_like(vd8),
+                                 jnp.zeros_like(z))
+        d_sproj, d_tproj, d_vcontrib = outs[:3]
+        d_w = outs[3:] if weight_grads else [jnp.zeros_like(w)
+                                             for w in wflat]
+        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib, *d_w)
+
+    op.defvjp(fwd_rule, bwd_rule)
+    return op
+
+
+def _with_composite(plane_op, white_bg: bool):
+    """Chain a plane op into the fat-tile Pallas composite: the op's
+    boundary becomes a single per-ray ``(R, 8)`` f32 array
+    ``[r | g | b | depth | acc | pad]``, so the loss talks to it purely
+    per-ray and no (R, S) COTANGENT plane is ever built by XLA. Composite
+    math matches ``core/render.py::composite`` (reference
+    ``src/utils.py:34-47``). Coarse-only paths only — hierarchical
+    sampling needs the weights plane."""
+    from codenerf_tpu.ops.pallas_composite import make_composite_op
+
+    comp_op = make_composite_op(white_bg=white_bg)
+
+    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
+        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
+        return comp_op(sig, r, g, b, z)
+
+    return op
+
+
 def make_fused_train_op(cfg: NetConfig, input_grads: bool = True):
-    """Build the custom-VJP op for this architecture.
+    """The TRAINING plane op: full weight gradients.
 
     Returns ``op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat) ->
     (sigma, r, g, b)`` — four (R, S) f32 planes — where ro8/vd8 are (R, 8)
@@ -656,180 +718,51 @@ def make_fused_train_op(cfg: NetConfig, input_grads: bool = True):
     :func:`flatten_params_f32`.
 
     ``input_grads=False`` drops the ro/vd/z cotangent chain in-kernel (the
-    enc_xyz dx matmul, the PE Jacobian and the xyz reductions) and returns
-    zeros for those three operands — correct whenever rays and depths are
-    non-trainable, which is every TRAINING step (rays come from the batch
-    poses, z from the sampler RNG; only pose optimization differentiates
-    through them, and it uses an ``input_grads=True`` op).
-    """
+    enc_xyz dx matmul, the PE Jacobian and the xyz reductions) — correct
+    whenever rays and depths are non-trainable, which is every TRAINING
+    step (rays come from the batch poses, z from the sampler RNG)."""
+    return _make_plane_op(cfg, weight_grads=True, input_grads=input_grads)
 
-    @jax.custom_vjp
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
 
-    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        R, S = z.shape
-        wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
-        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
-                                    vcontrib, wb)
+def make_fused_codes_op(cfg: NetConfig):
+    """Codes-only plane op for TEST-TIME optimization: the backward kernel
+    computes cotangents ONLY for the per-ray code operands (sproj, tproj,
+    vcontrib) — the model is frozen in this phase (reference
+    ``src/optimizer.py:195-198``), so the dW accumulation (one of the
+    three W-square matmuls per layer, plus the f32 W×W VMEM accumulator
+    blocks) and the enc_xyz/PE/xyz input chain are skipped in-kernel."""
+    return _make_plane_op(cfg, weight_grads=False, input_grads=False)
 
-    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
 
-    def bwd_rule(res, g):
-        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
-        R, S = z.shape
-        g_planes = tuple(x.astype(jnp.float32) for x in g)
-        outs = _invoke_bwd(cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib,
-                           wflat, g_planes, input_grads=input_grads)
-        if input_grads:
-            d_ro8, d_vd8, d_z = outs[:3]
-            outs = outs[3:]
-        else:
-            d_ro8, d_vd8, d_z = (jnp.zeros_like(ro8), jnp.zeros_like(vd8),
-                                 jnp.zeros_like(z))
-        d_sproj, d_tproj, d_vcontrib = outs[:3]
-        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib, *outs[3:])
-
-    op.defvjp(fwd_rule, bwd_rule)
-    return op
+def make_fused_pose_op(cfg: NetConfig):
+    """Frozen-model plane op with INPUT gradients for POSE optimization:
+    pose refinement differentiates through ray origins/directions (and z,
+    which tracks the refined pose through the per-ray sphere bounds) plus
+    the codes, but never through the weights (CodeNeRF §4.3)."""
+    return _make_plane_op(cfg, weight_grads=False, input_grads=True)
 
 
 def make_fused_train_composite_op(cfg: NetConfig, white_bg: bool = True,
                                   input_grads: bool = True):
-    """Fully-fused training op: same operands as
-    :func:`make_fused_train_op` but returning a single per-ray ``(R, 8)``
-    f32 array ``[r | g | b | depth | acc | pad]`` — the volume rendering
-    runs in the fat-tile Pallas composite op (ops/pallas_composite.py)
-    chained after the plane kernels, so the loss talks to the op purely
-    per-ray and no (R, S) COTANGENT plane is ever built by XLA.
-
-    (Round-2 measurement: running the composite inside the MLP kernels
-    themselves was 5 ms/step SLOWER — per-16-ray-tile (S, S) matmuls
-    serialize between the layer matmuls; the separate 512-ray-tile
-    composite kernel costs ~0.3 ms. Composite math matches
-    ``core/render.py::composite``, reference ``src/utils.py:34-47``.)
-    Only the coarse-only path uses this op (hierarchical sampling needs
-    the weights plane)."""
-    from codenerf_tpu.ops.pallas_composite import make_composite_op
-
-    plane_op = make_fused_train_op(cfg, input_grads=input_grads)
-    comp_op = make_composite_op(white_bg=white_bg)
-
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return comp_op(sig, r, g, b, z)
-
-    return op
-
-
-def make_fused_codes_op(cfg: NetConfig):
-    """Codes-only fused op for TEST-TIME optimization: same operands and
-    forward as :func:`make_fused_train_op`, but the backward kernel computes
-    cotangents ONLY for the per-ray code operands (sproj, tproj, vcontrib) —
-    the model is frozen in this phase (reference ``src/optimizer.py:195-198``),
-    so the dW accumulation (one of the three W-square matmuls per layer, plus
-    the f32 W×W VMEM accumulator blocks) and the enc_xyz/PE/xyz input chain
-    are skipped in-kernel. Cotangents for ro8/vd8/z and the weights are
-    returned as zeros (XLA dead-code-eliminates them when, as in codes
-    optimization, nothing consumes them)."""
-
-    @jax.custom_vjp
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-
-    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        R, S = z.shape
-        wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
-        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
-                                    vcontrib, wb)
-
-    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
-
-    def bwd_rule(res, g):
-        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
-        R, S = z.shape
-        g_planes = tuple(x.astype(jnp.float32) for x in g)
-        d_sproj, d_tproj, d_vcontrib = _invoke_bwd(
-            cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib, wflat, g_planes,
-            weight_grads=False, input_grads=False)
-        return (jnp.zeros_like(ro8), jnp.zeros_like(vd8), jnp.zeros_like(z),
-                d_sproj, d_tproj, d_vcontrib,
-                *(jnp.zeros_like(w) for w in wflat))
-
-    op.defvjp(fwd_rule, bwd_rule)
-    return op
-
-
-def make_fused_pose_op(cfg: NetConfig):
-    """Frozen-model op with INPUT gradients for POSE optimization: the
-    backward kernel runs with ``weight_grads=False, input_grads=True`` —
-    pose refinement differentiates through ray origins/directions (and z,
-    which tracks the refined pose through the per-ray sphere bounds) plus
-    the codes, but never through the weights (CodeNeRF §4.3; the model is
-    frozen at test time, reference ``src/optimizer.py:195-198``)."""
-
-    @jax.custom_vjp
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        return _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-
-    def _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        R, S = z.shape
-        wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x for x in wflat]
-        return fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z, sproj, tproj,
-                                    vcontrib, wb)
-
-    def fwd_rule(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        out = _fwd(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return out, (ro8, vd8, z, sproj, tproj, vcontrib, wflat)
-
-    def bwd_rule(res, g):
-        ro8, vd8, z, sproj, tproj, vcontrib, wflat = res
-        R, S = z.shape
-        g_planes = tuple(x.astype(jnp.float32) for x in g)
-        (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib) = _invoke_bwd(
-            cfg, S, R, ro8, vd8, z, sproj, tproj, vcontrib, wflat, g_planes,
-            weight_grads=False, input_grads=True)
-        return (d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib,
-                *(jnp.zeros_like(w) for w in wflat))
-
-    op.defvjp(fwd_rule, bwd_rule)
-    return op
-
-
-def make_fused_pose_composite_op(cfg: NetConfig, white_bg: bool = True):
-    """Pose-opt analog of :func:`make_fused_codes_composite_op` (the
-    composite's dz cotangent chains into the pose through the sampler)."""
-    from codenerf_tpu.ops.pallas_composite import make_composite_op
-
-    plane_op = make_fused_pose_op(cfg)
-    comp_op = make_composite_op(white_bg=white_bg)
-
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return comp_op(sig, r, g, b, z)
-
-    return op
+    """Training plane op chained into the fat-tile composite. (Round-2
+    measurement: running the composite inside the 16-ray MLP tiles as a
+    SEPARATE-backward op was 5 ms/step slower — the single-pass
+    ``_train_kernel`` supersedes this for the coarse-only training loss;
+    this op remains the building block for tests and non-loss uses.)"""
+    return _with_composite(make_fused_train_op(cfg, input_grads=input_grads),
+                           white_bg)
 
 
 def make_fused_codes_composite_op(cfg: NetConfig, white_bg: bool = True):
-    """Codes-only analog of :func:`make_fused_train_composite_op`: the
-    codes-only plane op chained into the fat-tile Pallas composite
-    (per-ray ``(R, 8)`` boundary). For the coarse-only codes-optimization
-    loss."""
-    from codenerf_tpu.ops.pallas_composite import make_composite_op
+    """Codes-only plane op chained into the fat-tile composite — the
+    coarse-only codes-optimization loss path."""
+    return _with_composite(make_fused_codes_op(cfg), white_bg)
 
-    plane_op = make_fused_codes_op(cfg)
-    comp_op = make_composite_op(white_bg=white_bg)
 
-    def op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat):
-        sig, r, g, b = plane_op(ro8, vd8, z, sproj, tproj, vcontrib, *wflat)
-        return comp_op(sig, r, g, b, z)
-
-    return op
+def make_fused_pose_composite_op(cfg: NetConfig, white_bg: bool = True):
+    """Pose plane op chained into the fat-tile composite (the composite's
+    dz cotangent chains into the pose through the sampler)."""
+    return _with_composite(make_fused_pose_op(cfg), white_bg)
 
 
 def fused_apply_train(

@@ -20,6 +20,7 @@ TPU-native design:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
@@ -124,8 +125,11 @@ def build_fused_codes_fns(hp: Hparams, chunk: int, *,
 # Jitted run functions keyed on everything shape/config-static. The data
 # (rays, pixels, params) are ARGUMENTS of the jitted function, so the
 # reference protocol's per-object loop (src/optimizer.py:53-147 — hundreds
-# of test objects) traces and compiles ONCE, not once per object.
-_RUN_CACHE: dict = {}
+# of test objects) traces and compiles ONCE, not once per object. Bounded
+# LRU: a long-lived process sweeping settings evicts the oldest compiled
+# run instead of growing without limit.
+_RUN_CACHE = collections.OrderedDict()
+_RUN_CACHE_MAX = 16
 
 
 def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
@@ -246,6 +250,10 @@ def optimize_codes(
         _RUN_CACHE[cache_key] = _build_run(
             hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,
             reference_resets, use_fused)
+        while len(_RUN_CACHE) > _RUN_CACHE_MAX:
+            _RUN_CACHE.popitem(last=False)
+    else:
+        _RUN_CACHE.move_to_end(cache_key)
     run = _RUN_CACHE[cache_key]
 
     ro_c = _chunked(ray_o, chunk, n_padded)

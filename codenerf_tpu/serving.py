@@ -56,6 +56,13 @@ class RenderServer:
             raise ValueError(
                 "use_occupancy needs a grid extent: pass occ_radius or set "
                 "bound_sphere_radius in the config")
+        if use_occupancy and hp.render.shared_jitter:
+            # same contract as build_train_step: the shared-jitter quirk is
+            # one global z slab, so per-ray bounds (and hence the grid)
+            # would be silently dropped by the sampler.
+            raise ValueError(
+                "use_occupancy requires per-ray sampling: shared_jitter "
+                "cannot carry per-ray occupancy bounds")
         self._occ_grids: Dict[int, Any] = {}
         self._render_fns: Dict[Tuple[int, int, bool], Any] = {}
         self._lock = threading.Lock()
@@ -85,25 +92,17 @@ class RenderServer:
         if key not in self._render_fns:
             tr = self.trainables
 
-            if self.use_occupancy:
-                def fn(c2w, focal, shape_code, texture_code, rng, occ_grid):
-                    return render_image(
-                        tr["params"], self.hp.net, self.hp.render, H, W,
-                        focal, c2w, shape_code, texture_code,
-                        key=None if deterministic else rng,
-                        chunk=4096, fine_params=tr.get("fine_params"),
-                        compute_dtype=resolve_dtype(self.hp.compute_dtype),
-                        occ_grid=occ_grid,
-                    )
-            else:
-                def fn(c2w, focal, shape_code, texture_code, rng):
-                    return render_image(
-                        tr["params"], self.hp.net, self.hp.render, H, W,
-                        focal, c2w, shape_code, texture_code,
-                        key=None if deterministic else rng,
-                        chunk=4096, fine_params=tr.get("fine_params"),
-                        compute_dtype=resolve_dtype(self.hp.compute_dtype),
-                    )
+            # *occ is () without occupancy, (occ_grid,) with it — one body
+            # either way.
+            def fn(c2w, focal, shape_code, texture_code, rng, *occ):
+                return render_image(
+                    tr["params"], self.hp.net, self.hp.render, H, W,
+                    focal, c2w, shape_code, texture_code,
+                    key=None if deterministic else rng,
+                    chunk=4096, fine_params=tr.get("fine_params"),
+                    compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                    occ_grid=occ[0] if occ else None,
+                )
 
             self._render_fns[key] = jax.jit(fn)
         return self._render_fns[key]
