@@ -326,7 +326,6 @@ class CodeOptimizer:
 
         chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
 
-        @jax.jit
         def eval_view(c2w, focal, gt, shape_code, texture_code, key):
             ro, vd = camera_rays(H, W, focal, c2w)
             ro_c = pad_rays(ro, n_padded).reshape(n_chunks, chunk, 3)
@@ -348,7 +347,23 @@ class CodeOptimizer:
             mse = reference_psnr_mse(rgb, gt)
             return rgb, psnr_fn(mse), ssim_fn(rgb, gt)
 
-        return eval_view
+        # The whole eval sweep (the reference loops 249 views with one GPU
+        # dispatch each, src/optimizer.py:110-130) is ONE jitted call: a
+        # lax.map over views. On a remote-tunneled device this removes
+        # per-view round-trips; rendered images stay device-side unless
+        # the caller asks for them.
+        @jax.jit
+        def eval_views(c2ws, focal, gts, shape_code, texture_code, key):
+            V = c2ws.shape[0]
+            keys = jax.random.split(key, V)
+
+            def one(xs):
+                c2w, gt, k = xs
+                return eval_view(c2w, focal, gt, shape_code, texture_code, k)
+
+            return jax.lax.map(one, (c2ws, gts, keys))
+
+        return eval_views
 
     def evaluate_object(
         self,
@@ -372,27 +387,18 @@ class CodeOptimizer:
         if self._eval_fn is None or self._eval_key != cache_key:
             self._eval_fn = self._build_eval(H, W, self.chunk, deterministic)
             self._eval_key = cache_key
-        psnrs, ssims, idxs, rendered = [], [], [], []
         excl = set(int(i) for i in exclude_views)
-        for v in range(images.shape[0]):
-            if v in excl:
-                continue
-            key, k = jax.random.split(key)
-            rgb, p, s = self._eval_fn(
-                jnp.asarray(poses[v]), jnp.asarray(focal),
-                jnp.asarray(images[v], dtype=jnp.float32),
-                shape_code, texture_code, k,
-            )
-            idxs.append(v)
-            psnrs.append(float(p))
-            ssims.append(float(s))
-            if return_images:
-                rendered.append(np.asarray(rgb))
+        idxs = [v for v in range(images.shape[0]) if v not in excl]
+        rgb, p, s = self._eval_fn(
+            jnp.asarray(poses[idxs]), jnp.asarray(focal),
+            jnp.asarray(images[idxs], dtype=jnp.float32),
+            shape_code, texture_code, key,
+        )
         out = {
             "views": np.asarray(idxs),
-            "psnr": np.asarray(psnrs),
-            "ssim": np.asarray(ssims),
+            "psnr": np.asarray(p),
+            "ssim": np.asarray(s),
         }
         if return_images:
-            out["images"] = np.stack(rendered)
+            out["images"] = np.asarray(rgb)
         return out
