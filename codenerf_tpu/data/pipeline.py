@@ -127,7 +127,8 @@ class RayBatchPipeline:
         }
 
     def prefetch(self, batch_size: int, crop: bool = False,
-                 depth: int = 2) -> Iterator[Dict[str, np.ndarray]]:
+                 depth: int = 2,
+                 transform=None) -> Iterator[Dict[str, np.ndarray]]:
         """Endless iterator of batches produced on a background thread.
 
         Each call gets its own deterministic stream derived from
@@ -135,6 +136,11 @@ class RayBatchPipeline:
         independent of thread scheduling and of any earlier (possibly
         still-draining) prefetch iterator. Close the iterator (``.close()``)
         to stop its worker.
+
+        ``transform`` (e.g. a sharded ``jax.device_put``) runs on the
+        WORKER thread, so host→device staging overlaps the training step
+        instead of serializing with it — on a remote-tunneled device the
+        per-batch transfer is tens of ms and otherwise lands between steps.
         """
         stream_id = self._stream_count
         self._stream_count += 1
@@ -149,6 +155,8 @@ class RayBatchPipeline:
                     batch_size, crop=crop, rng=rng,
                     native_step=(stream_id << 32) | i,
                 )
+                if transform is not None:
+                    batch = transform(batch)
                 i += 1
                 while not stop.is_set():
                     try:

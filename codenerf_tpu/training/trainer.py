@@ -216,7 +216,8 @@ class Trainer:
         rays_since_log = 0
         start = int(self.state.step)
         crop_phase = start < iters_crop
-        batches = self.pipeline.prefetch(self.B, crop=crop_phase)
+        batches = self.pipeline.prefetch(self.B, crop=crop_phase,
+                                         transform=self._stage)
 
         occ_cfg = self.hp.train_occupancy
         if occ_cfg is not None and start >= occ_cfg.warmup:
@@ -229,8 +230,9 @@ class Trainer:
                 if crop_phase and step >= iters_crop:
                     crop_phase = False
                     batches.close()  # stop the crop-phase worker
-                    batches = self.pipeline.prefetch(self.B, crop=False)
-                batch = self._put(next(batches))
+                    batches = self.pipeline.prefetch(self.B, crop=False,
+                                                     transform=self._stage)
+                batch = next(batches)
                 if self._occ is not None:
                     self.state, metrics = self._train_step(
                         self.state, batch, self._occ)
@@ -300,6 +302,14 @@ class Trainer:
         if self._batch_sharding is not None:
             return jax.device_put(batch, self._batch_sharding)
         return batch
+
+    def _stage(self, batch: Dict[str, np.ndarray]):
+        """Device staging for the prefetch worker: always an explicit
+        device_put (sharded under a mesh) so the H2D transfer happens on
+        the worker thread, overlapped with the in-flight step."""
+        if self._batch_sharding is not None:
+            return jax.device_put(batch, self._batch_sharding)
+        return jax.device_put(batch)
 
     def render_view(self, obj_idx: int, view_idx: int,
                     key: Optional[jax.Array] = None) -> np.ndarray:
