@@ -25,6 +25,13 @@ from typing import Dict, Iterator
 import numpy as np
 
 
+class _WorkerFailure:
+    """Sentinel carrying a prefetch-worker exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class RayBatchPipeline:
     def __init__(
         self,
@@ -145,30 +152,45 @@ class RayBatchPipeline:
         stream_id = self._stream_count
         self._stream_count += 1
         rng = np.random.default_rng([self._seed, stream_id])
-        q: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(maxsize=depth)
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
         stop = threading.Event()
 
-        def worker():
-            i = 0
+        def put(item) -> None:
             while not stop.is_set():
-                batch = self.sample(
-                    batch_size, crop=crop, rng=rng,
-                    native_step=(stream_id << 32) | i,
-                )
-                if transform is not None:
-                    batch = transform(batch)
-                i += 1
+                try:
+                    q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+        def worker():
+            # Any failure (the device_put `transform` rides a flaky tunnel)
+            # is forwarded through the queue and re-raised on the consumer
+            # thread — a silently dead worker would leave training blocked
+            # on q.get() forever with no error.
+            try:
+                i = 0
                 while not stop.is_set():
-                    try:
-                        q.put(batch, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
+                    batch = self.sample(
+                        batch_size, crop=crop, rng=rng,
+                        native_step=(stream_id << 32) | i,
+                    )
+                    if transform is not None:
+                        batch = transform(batch)
+                    i += 1
+                    put(batch)
+            except BaseException as e:  # noqa: BLE001 — forwarded, not dropped
+                put(_WorkerFailure(e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, _WorkerFailure):
+                    raise RuntimeError(
+                        "prefetch worker failed"
+                    ) from item.exc
+                yield item
         finally:
             stop.set()

@@ -122,3 +122,20 @@ def test_prefetch_yields_batches(tiny_scene):
     batches = [next(it) for _ in range(3)]
     assert all(b["rgb"].shape == (16, 3) for b in batches)
     it.close()
+
+
+def test_prefetch_worker_failure_raises(tiny_scene):
+    """A crashing transform (e.g. a flaky device_put) must surface as an
+    exception on the consumer, not leave it blocked on an empty queue."""
+    import pytest
+
+    pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
+                            tiny_scene["focals"], seed=0)
+
+    def bad_transform(batch):
+        raise OSError("tunnel H2D died")
+
+    it = pipe.prefetch(16, depth=2, transform=bad_transform)
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(it)
+    it.close()

@@ -1,0 +1,340 @@
+"""Cross-implementation parity against the ACTUAL reference code.
+
+Every other golden test in this suite compares against independent numpy
+transcriptions of the reference formulas; these tests import the reference
+package itself (``/root/reference/src``, torch CPU) and assert that this
+framework's float32 math matches the reference's outputs numerically:
+
+- positional encoding (``src/model.py:4-7``)
+- full CodeNeRF forward (``src/model.py:36-53``) through converted weights
+- gradients w.r.t. latent codes through render+MSE (torch autograd vs jax)
+- ray generation (``src/utils.py:10-19``)
+- stratified z-values, shared-jitter quirk (``src/utils.py:21-32``)
+- volume rendering (``src/utils.py:34-47``)
+- deterministic end-to-end render (rays -> z_fixed -> MLP -> composite)
+- min-max uint8 conversion (``src/utils.py:49-60``)
+- step-halving lr schedule (``src/trainer.py:122-128``)
+
+Skipped wholesale when torch or the reference checkout is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_SRC = "/root/reference/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_SRC), reason="reference checkout not available"
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _import_reference():
+    """Import the reference's flat modules (they import each other by bare
+    name, so the src dir goes on sys.path)."""
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    import model as ref_model  # noqa: F401
+    import utils as ref_utils  # noqa: F401
+
+    return ref_model, ref_utils
+
+
+@pytest.fixture(scope="module")
+def ref():
+    ref_model, ref_utils = _import_reference()
+
+    class NS:
+        model = ref_model
+        utils = ref_utils
+
+    return NS
+
+
+@pytest.fixture(scope="module")
+def net_cfg():
+    from codenerf_tpu.config import NetConfig
+
+    # The shipped srncar.json architecture (jsonfiles/srncar.json:2-9).
+    return NetConfig(shape_blocks=3, texture_blocks=1, W=256,
+                     num_xyz_freq=10, num_dir_freq=4, latent_dim=256)
+
+
+@pytest.fixture(scope="module")
+def ref_net(ref, net_cfg):
+    torch.manual_seed(7)
+    net = ref.model.CodeNeRF(
+        shape_blocks=net_cfg.shape_blocks,
+        texture_blocks=net_cfg.texture_blocks,
+        W=net_cfg.W,
+        num_xyz_freq=net_cfg.num_xyz_freq,
+        num_dir_freq=net_cfg.num_dir_freq,
+        latent_dim=net_cfg.latent_dim,
+    ).double()
+    return net
+
+
+@pytest.fixture(scope="module")
+def converted_params(ref_net, net_cfg):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convert_reference_checkpoint import state_dict_to_params
+
+    sd = {k: v.float() for k, v in ref_net.state_dict().items()}
+    return state_dict_to_params(sd, net_cfg.shape_blocks,
+                                net_cfg.texture_blocks)
+
+
+def test_positional_encoding_parity(ref):
+    from codenerf_tpu.core.encoding import positional_encoding
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((40, 3)).astype(np.float32)
+    for degree in (4, 10):
+        want = ref.model.PE(torch.from_numpy(x), degree).numpy()
+        got = np.asarray(positional_encoding(jnp.asarray(x), degree))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_model_forward_parity(ref_net, converted_params, net_cfg):
+    from codenerf_tpu.models.codenerf import apply_codenerf
+
+    rng = np.random.default_rng(1)
+    R, S = 33, 17
+    xyz = rng.uniform(-1.2, 1.2, (R, S, 3)).astype(np.float32)
+    vd = rng.standard_normal((R, 3)).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    sc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    tc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+
+    # Reference tiles viewdir per sample (src/utils.py:31) and broadcasts a
+    # (1, D) code against (R, S, W) activations (src/model.py:42,50).
+    vd_tiled = np.broadcast_to(vd[:, None, :], (R, S, 3)).copy()
+    with torch.no_grad():
+        sig_t, rgb_t = ref_net(
+            torch.from_numpy(xyz).double(),
+            torch.from_numpy(vd_tiled).double(),
+            torch.from_numpy(sc[None]).double(),
+            torch.from_numpy(tc[None]).double(),
+        )
+    sig, rgb = apply_codenerf(
+        converted_params, net_cfg, jnp.asarray(xyz), jnp.asarray(vd),
+        jnp.asarray(sc), jnp.asarray(tc), compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(sig), sig_t.numpy()[..., 0],
+                               atol=3e-6)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_t.numpy(), atol=3e-6)
+
+
+def test_rays_parity(ref):
+    from codenerf_tpu.core.rays import camera_rays
+
+    rng = np.random.default_rng(2)
+    # A real look-at pose, not a random matrix — unit determinant rotations
+    # are what both implementations normalize against in practice.
+    from codenerf_tpu.data.synthetic import _look_at
+
+    c2w = _look_at(np.array([1.1, -2.0, 0.7]), np.zeros(3),
+                   np.array([0.0, 0.0, 1.0])).astype(np.float32)
+    H, W, focal = 24, 20, 31.5
+    ro_t, vd_t = ref.utils.get_rays(H, W, focal, torch.from_numpy(c2w))
+    ro, vd = camera_rays(H, W, focal, jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(ro), ro_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vd), vd_t.numpy(), atol=1e-6)
+    del rng
+
+
+def test_stratified_shared_jitter_parity(ref, monkeypatch):
+    """The shared-jitter quirk formula: extract the jitter our sampler drew,
+    feed the SAME jitter through the reference's torch.rand, and require the
+    z-values to agree exactly (same base grid, same scaling)."""
+    from codenerf_tpu.core.sampling import stratified_zvals
+
+    near, far, n = 0.8, 1.8, 96
+    ours = np.asarray(stratified_zvals(jax.random.PRNGKey(3), near, far, n,
+                                       shared=True))
+    half = (far - near) / (2 * n)
+    base = np.linspace(near + half, far - half, n, dtype=np.float32)
+    jitter = (ours - base) / ((far - near) / (2 * n))
+    assert np.all(jitter >= 0.0) and np.all(jitter < 1.0)
+
+    monkeypatch.setattr(torch, "rand",
+                        lambda *a, **k: torch.from_numpy(jitter.astype(np.float32)))
+    ro = torch.zeros(5, 3)
+    vd = torch.ones(5, 3)
+    xyz_t, vd_t, z_t = ref.utils.sample_from_rays(ro, vd, near, far, n)
+    np.testing.assert_allclose(ours, z_t.numpy(), atol=1e-6)
+    # Point expansion: xyz = ro + vd * z, viewdir tiled (src/utils.py:30-31).
+    np.testing.assert_allclose(
+        xyz_t.numpy(), ro[:, None, :].numpy() + vd[:, None, :].numpy() * ours[None, :, None],
+        atol=1e-6)
+    assert vd_t.shape == (5, n, 3)
+
+
+def test_fixed_zvals_parity(ref):
+    from codenerf_tpu.core.sampling import fixed_zvals
+
+    near, far, n = 1.25, 2.75, 40
+    _, _, z_t = ref.utils.sample_from_rays(
+        torch.zeros(2, 3), torch.ones(2, 3), near, far, n, z_fixed=True)
+    np.testing.assert_allclose(np.asarray(fixed_zvals(near, far, n)),
+                               z_t.numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("white_bg", [True, False])
+def test_volume_rendering_parity(ref, white_bg):
+    from codenerf_tpu.core.render import composite
+
+    rng = np.random.default_rng(4)
+    R, S = 64, 96
+    sigmas = rng.exponential(2.0, (R, S)).astype(np.float32)
+    rgbs = rng.uniform(-0.2, 1.2, (R, S, 3)).astype(np.float32)
+    z = np.sort(rng.uniform(0.8, 1.8, (S,)).astype(np.float32))
+
+    rgb_t, depth_t = ref.utils.volume_rendering(
+        torch.from_numpy(sigmas[..., None]), torch.from_numpy(rgbs),
+        torch.from_numpy(z), white_bg=white_bg)
+    out = composite(jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(z),
+                    white_bg=white_bg)
+    np.testing.assert_allclose(np.asarray(out.rgb), rgb_t.numpy(), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.depth), depth_t.numpy(),
+                               atol=2e-6)
+
+
+def test_end_to_end_render_parity(ref, ref_net, converted_params, net_cfg):
+    """Deterministic full-pipeline A/B: get_rays -> z_fixed sampling -> MLP
+    -> volume_rendering, reference torch vs this framework, same weights.
+    This is the whole eval-render path compared in one shot."""
+    from codenerf_tpu.core.rays import camera_rays
+    from codenerf_tpu.core.sampling import fixed_zvals
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.models.codenerf import apply_codenerf
+    from codenerf_tpu.data.synthetic import _look_at
+
+    rng = np.random.default_rng(5)
+    H = W = 12
+    focal = 14.0
+    near, far, S = 0.8, 1.8, 24
+    c2w = _look_at(np.array([0.9, 0.9, 0.6]), np.zeros(3),
+                   np.array([0.0, 0.0, 1.0])).astype(np.float32)
+    sc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    tc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+
+    # Reference pipeline (src/trainer.py:65-74 wiring, z_fixed).
+    ro_t, vd_t = ref.utils.get_rays(H, W, focal, torch.from_numpy(c2w))
+    xyz_t, vdt_t, z_t = ref.utils.sample_from_rays(ro_t, vd_t, near, far, S,
+                                                   z_fixed=True)
+    with torch.no_grad():
+        sig_t, rgb_t = ref_net(xyz_t.double(), vdt_t.double(),
+                               torch.from_numpy(sc[None]).double(),
+                               torch.from_numpy(tc[None]).double())
+        img_t, _ = ref.utils.volume_rendering(sig_t.float(), rgb_t.float(),
+                                              z_t)
+
+    ro, vd = camera_rays(H, W, focal, jnp.asarray(c2w))
+    z = fixed_zvals(near, far, S)
+    xyz = ro[:, None, :] + vd[:, None, :] * z[None, :, None]
+    sig, rgb = apply_codenerf(converted_params, net_cfg, xyz, vd,
+                              jnp.asarray(sc), jnp.asarray(tc),
+                              compute_dtype=jnp.float32)
+    img = composite(sig, rgb, z).rgb
+    np.testing.assert_allclose(np.asarray(img), img_t.numpy(), atol=5e-6)
+
+
+def test_code_gradient_parity(ref, ref_net, converted_params, net_cfg):
+    """d(MSE)/d(codes) through render+composite: torch autograd vs jax.grad.
+    This is the gradient the whole test-time optimization rides on."""
+    rng = np.random.default_rng(6)
+    R, S = 48, 16
+    near, far = 0.8, 1.8
+    ro = rng.uniform(-0.3, 0.3, (R, 3)).astype(np.float32)
+    ro[:, 2] += 1.6
+    vd = rng.standard_normal((R, 3)).astype(np.float32)
+    vd[:, 2] = -np.abs(vd[:, 2]) - 0.5
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    gt = rng.uniform(0, 1, (R, 3)).astype(np.float32)
+    sc0 = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    tc0 = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    z = np.linspace(near, far, S, dtype=np.float32)
+
+    # torch side (double precision to make it the trusted oracle)
+    sc_t = torch.from_numpy(sc0[None]).double().requires_grad_()
+    tc_t = torch.from_numpy(tc0[None]).double().requires_grad_()
+    xyz_t = torch.from_numpy(
+        ro[:, None, :] + vd[:, None, :] * z[None, :, None]).double()
+    vdt = torch.from_numpy(
+        np.broadcast_to(vd[:, None, :], (R, S, 3)).copy()).double()
+    sig_t, rgb_t = ref_net(xyz_t, vdt, sc_t, tc_t)
+    img_t, _ = ref.utils.volume_rendering(sig_t, rgb_t,
+                                          torch.from_numpy(z).double())
+    loss_t = torch.mean((img_t - torch.from_numpy(gt).double()) ** 2)
+    loss_t.backward()
+
+    # jax side
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.models.codenerf import apply_codenerf
+
+    def loss_fn(codes):
+        sc, tc = codes
+        xyz = jnp.asarray(ro)[:, None, :] + jnp.asarray(vd)[:, None, :] \
+            * jnp.asarray(z)[None, :, None]
+        sig, rgb = apply_codenerf(converted_params, net_cfg, xyz,
+                                  jnp.asarray(vd), sc, tc,
+                                  compute_dtype=jnp.float32)
+        img = composite(sig, rgb, jnp.asarray(z)).rgb
+        return jnp.mean((img - jnp.asarray(gt)) ** 2)
+
+    g_sc, g_tc = jax.grad(loss_fn)((jnp.asarray(sc0), jnp.asarray(tc0)))
+    want_sc = sc_t.grad.numpy()[0]
+    want_tc = tc_t.grad.numpy()[0]
+    scale = max(np.abs(want_sc).max(), np.abs(want_tc).max())
+    np.testing.assert_allclose(np.asarray(g_sc), want_sc,
+                               atol=2e-5 * scale, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_tc), want_tc,
+                               atol=2e-5 * scale, rtol=2e-4)
+
+
+def test_image_float_to_uint8_parity(ref):
+    from codenerf_tpu.utils.images import image_float_to_uint8
+
+    rng = np.random.default_rng(8)
+    img = rng.uniform(-0.1, 1.3, (9, 7, 3)).astype(np.float32)
+    np.testing.assert_array_equal(image_float_to_uint8(img),
+                                  ref.utils.image_float_to_uint8(img.copy()))
+    # Flat images: the reference's 1e-10 epsilon underflows in float32 and
+    # its output is a platform-defined NaN cast (src/utils.py:56-60); ours
+    # is a well-defined constant image, so only check ours is finite here.
+    flat = np.full((4, 4, 3), 0.5, np.float32)
+    assert np.all(image_float_to_uint8(flat) == 0)
+
+
+def test_lr_schedule_parity():
+    """step_halving vs the reference decay math (src/trainer.py:122-128):
+    lr * 2^-(niter // interval)."""
+    from codenerf_tpu.training.schedules import step_halving
+
+    sched = step_halving(1e-4, 250)
+    for niter in (0, 1, 249, 250, 499, 500, 1250):
+        want = 1e-4 * 2.0 ** (-(niter // 250))
+        assert np.isclose(float(sched(niter)), want, rtol=1e-6)
+
+
+def test_code_init_distribution_parity(ref):
+    """randn/sqrt(D/2) init (src/trainer.py:138-139): match mean/std within
+    sampling error on a large table."""
+    from codenerf_tpu.models.codes import init_codes
+
+    D, N = 256, 4000
+    ours = np.asarray(init_codes(jax.random.PRNGKey(9), N, D))
+    torch.manual_seed(9)
+    theirs = (torch.randn(N, D) / np.sqrt(D / 2)).numpy()
+    assert abs(ours.std() - theirs.std()) < 0.01
+    assert abs(ours.mean() - theirs.mean()) < 0.002
+    del ref
