@@ -73,6 +73,15 @@ def load_library() -> Optional[ctypes.CDLL]:
             _i64, _i64, _i64, _i64,
             i32p, f32p, f32p, f32p, f32p, ctypes.c_int,
         ]
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        u8wp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.cn_sample_batch_compact.restype = ctypes.c_int
+        lib.cn_sample_batch_compact.argtypes = [
+            u8p,
+            _i64, _i64, _i64, _i64, _i64, _u64, _u64,
+            _i64, _i64, _i64, _i64,
+            i32p, i32p, i16p, u8wp, ctypes.c_int,
+        ]
         lib.cn_rays_of_view.restype = ctypes.c_int
         lib.cn_rays_of_view.argtypes = [
             u8p, f32p, f32p,
@@ -117,6 +126,39 @@ def sample_batch(
     )
     if rc != 0:
         raise RuntimeError(f"cn_sample_batch failed with code {rc}")
+    return out
+
+
+def sample_batch_compact(
+    images: np.ndarray, poses: np.ndarray, focals: np.ndarray,
+    batch: int, seed: int, step: int,
+    v0: int, v1: int, u0: int, u1: int,
+    n_threads: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Native compact (index-layout) batch — same (obj, view, pixel) picks
+    as :func:`sample_batch` for the same (seed, step). ``poses``/``focals``
+    are unused (they live in device-resident tables) but kept in the
+    signature so both backends share a call shape."""
+    del poses, focals
+    lib = load_library()
+    assert lib is not None, "native library unavailable"
+    N, V, H, W = images.shape[:4]
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    out = {
+        "obj": np.empty(batch, np.int32),
+        "view": np.empty(batch, np.int32),
+        "uv": np.empty((batch, 2), np.int16),
+        "rgb": np.empty((batch, 3), np.uint8),
+    }
+    rc = lib.cn_sample_batch_compact(
+        images, N, V, H, W, batch, seed & (2**64 - 1), step & (2**64 - 1),
+        v0, v1, u0, u1,
+        out["obj"], out["view"], out["uv"], out["rgb"],
+        n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"cn_sample_batch_compact failed with code {rc}")
     return out
 
 

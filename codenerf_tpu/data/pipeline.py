@@ -75,7 +75,8 @@ class RayBatchPipeline:
 
     def sample(self, batch_size: int, crop: bool = False,
                rng: np.random.Generator = None,
-               native_step: int = None) -> Dict[str, np.ndarray]:
+               native_step: int = None,
+               compact: bool = False) -> Dict[str, np.ndarray]:
         """One training batch of rays, sampled i.i.d. across the dataset.
 
         ``rng``/``native_step`` override the pipeline's own stream — used by
@@ -83,21 +84,36 @@ class RayBatchPipeline:
         deterministic stream (a background worker sharing the pipeline RNG
         would make the batch sequence depend on thread timing).
 
-        Returns host numpy arrays:
+        Returns host numpy arrays. Default (expanded) layout:
           obj   (B,)   int32   object index (latent-code row)
           uv    (B, 2) float32 full-image pixel coords (u=col, v=row)
           c2w   (B, 3, 4) float32 per-ray camera pose
           focal (B,)   float32
           rgb   (B, 3) float32 ground-truth pixel in [0, 1]
+
+        ``compact=True`` returns the INDEX layout (15 B/ray vs 76 — the
+        per-ray f32 pose dominates the H2D transfer otherwise; the train
+        step gathers pose/focal from device-resident :meth:`tables` and
+        converts rgb on-device, see ``train_step.expand_compact_batch``):
+          obj   (B,)   int32
+          view  (B,)   int32
+          uv    (B, 2) int16
+          rgb   (B, 3) uint8
+        Both layouts draw the SAME (object, view, pixel) triples from a
+        given stream state.
         """
         v0, v1, u0, u1 = self._pixel_bounds(crop)
         if self.backend == "native":
-            from codenerf_tpu.data.native import sample_batch
+            from codenerf_tpu.data.native import (
+                sample_batch,
+                sample_batch_compact,
+            )
 
             if native_step is None:
                 self._step += 1
                 native_step = self._step
-            return sample_batch(
+            fn = sample_batch_compact if compact else sample_batch
+            return fn(
                 self.images, self.poses, self.focals, batch_size,
                 self._seed, native_step, v0, v1, u0, u1,
             )
@@ -108,6 +124,13 @@ class RayBatchPipeline:
         pu = rng.integers(u0, u1, batch_size, dtype=np.int64)
         pv = rng.integers(v0, v1, batch_size, dtype=np.int64)
 
+        if compact:
+            return {
+                "obj": obj.astype(np.int32),
+                "view": view.astype(np.int32),
+                "uv": np.stack([pu, pv], axis=-1).astype(np.int16),
+                "rgb": self.images[obj, view, pv, pu],
+            }
         rgb = self.images[obj, view, pv, pu].astype(np.float32) / 255.0
         return {
             "obj": obj.astype(np.int32),
@@ -115,6 +138,16 @@ class RayBatchPipeline:
             "c2w": self.poses[obj, view, :3, :],
             "focal": self.focals[obj],
             "rgb": rgb,
+        }
+
+    def tables(self) -> Dict[str, np.ndarray]:
+        """Device-residency companions of the compact batch layout: the full
+        pose/focal tables, put on device ONCE at trainer start so each step
+        gathers (obj, view) -> pose instead of shipping 48 B/ray of f32
+        pose over the host link."""
+        return {
+            "c2w": np.ascontiguousarray(self.poses[:, :, :3, :]),
+            "focal": self.focals,
         }
 
     def rays_of_view(self, obj: int, view: int,
@@ -135,7 +168,8 @@ class RayBatchPipeline:
 
     def prefetch(self, batch_size: int, crop: bool = False,
                  depth: int = 2,
-                 transform=None) -> Iterator[Dict[str, np.ndarray]]:
+                 transform=None,
+                 compact: bool = False) -> Iterator[Dict[str, np.ndarray]]:
         """Endless iterator of batches produced on a background thread.
 
         Each call gets its own deterministic stream derived from
@@ -174,6 +208,7 @@ class RayBatchPipeline:
                     batch = self.sample(
                         batch_size, crop=crop, rng=rng,
                         native_step=(stream_id << 32) | i,
+                        compact=compact,
                     )
                     if transform is not None:
                         batch = transform(batch)

@@ -41,6 +41,11 @@ class OptimizationResult(NamedTuple):
     shape_code: jnp.ndarray    # (D,)
     texture_code: jnp.ndarray  # (D,)
     psnr_history: jnp.ndarray  # (num_opts,) training-view PSNR per step
+    # (num_opts, progress_rays, 3) per-step renders of the leading target
+    # rays (None unless requested) — the reference writes a progress PNG
+    # every opt step (src/optimizer.py:101,149-166); these are its data,
+    # collected as scan outputs so the optimization stays ONE dispatch.
+    progress: Optional[jnp.ndarray] = None
 
 
 def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
@@ -134,7 +139,8 @@ _RUN_CACHE_MAX = 16
 
 def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                num_opts: int, lr: float, lr_half_interval: int,
-               reference_resets: bool, use_fused: Optional[bool]):
+               reference_resets: bool, use_fused: Optional[bool],
+               progress_rays: int = 0):
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
     apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
@@ -157,24 +163,35 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 fine_params=fine_params, compute_dtype=compute_dtype,
                 apply_fn=apply_fn, composite_fn=composite_fn,
             )
+            # Final-pass SE (the reported metric) and the optimized SE
+            # (adds the coarse head under hierarchical sampling) are
+            # tracked separately: folding both into one sum would inflate
+            # the reported "mse" -> psnr_history by ~2x when
+            # n_importance > 0.
+            fin_se, opt_se = carry
             se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
+            fin_se = fin_se + se
             if res.fine is not None:
                 se = se + jnp.sum(m[:, None] * (res.coarse.rgb - gt) ** 2)
-            return carry + se, None
+            out = res.final.rgb if progress_rays else None
+            return (fin_se, opt_se + se), out
 
         keys = jax.random.split(step_key, n_chunks)
         # The XLA path needs remat to bound the saved (chunk, S, W)
         # activations; the fused op's residuals are the per-ray operands
         # only, so rematerializing it would just run the forward kernel
         # twice.
-        total_se, _ = jax.lax.scan(
+        (final_se, opt_se), rgb_chunks = jax.lax.scan(
             body if fused else jax.checkpoint(body),
-            jnp.zeros((), jnp.float32),
+            (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
             (ro_c, vd_c, gt_c, mask_c, keys),
         )
-        mse = total_se / (n_rays * 3.0)
+        scale = 1.0 / (n_rays * 3.0)
         reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
-        return mse + hp.loss_reg_coef * reg, mse
+        progress = (rgb_chunks.reshape(-1, 3)[:progress_rays]
+                    if progress_rays else jnp.zeros((0, 3), jnp.float32))
+        return opt_se * scale + hp.loss_reg_coef * reg, (final_se * scale,
+                                                         progress)
 
     @jax.jit
     def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key):
@@ -190,20 +207,21 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                     step_idx % lr_half_interval == 0,
                     reset_adam_state, lambda s: s, opt_state,
                 )
-            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (_, (mse, progress)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
                 codes, step_key, params, fine_params, ro_c, vd_c, gt_c,
                 mask_c,
             )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
-            return (codes, opt_state), psnr_fn(mse)
+            return (codes, opt_state), (psnr_fn(mse), progress)
 
         keys = jax.random.split(key, num_opts)
-        (codes, _), history = jax.lax.scan(
+        (codes, _), (history, progress) = jax.lax.scan(
             step, (codes0, opt_state0),
             (jnp.arange(num_opts), keys),
         )
-        return codes, history
+        return codes, history, progress
 
     return run
 
@@ -224,6 +242,7 @@ def optimize_codes(
     fine_params=None,
     reference_resets: bool = False,
     use_fused: Optional[bool] = None,
+    progress_rays: int = 0,
 ) -> OptimizationResult:
     """Optimize one object's codes against flat target rays. Fully jitted;
     the compiled optimization is cached across calls (same ray count and
@@ -243,13 +262,14 @@ def optimize_codes(
     n_chunks = n_padded // chunk
     # hp.raw (the original JSON dict) is unhashable and irrelevant to the
     # compiled program — key on the typed config only.
+    progress_rays = min(int(progress_rays), n_rays)
     cache_key = (dataclasses.replace(hp, raw=None), n_rays, chunk, n_chunks,
                  num_opts, lr, lr_half_interval, reference_resets,
-                 use_fused, fine_params is None)
+                 use_fused, fine_params is None, progress_rays)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run(
             hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,
-            reference_resets, use_fused)
+            reference_resets, use_fused, progress_rays)
         while len(_RUN_CACHE) > _RUN_CACHE_MAX:
             _RUN_CACHE.popitem(last=False)
     else:
@@ -263,12 +283,13 @@ def optimize_codes(
     mask = jnp.arange(n_padded, dtype=jnp.float32) < n_rays
     mask_c = mask.reshape(-1, chunk)
 
-    (shape_code, texture_code), history = run(
+    (shape_code, texture_code), history, progress = run(
         params, fine_params, ro_c, vd_c, gt_c, mask_c,
         (init_shape.astype(jnp.float32), init_texture.astype(jnp.float32)),
         key,
     )
-    return OptimizationResult(shape_code, texture_code, history)
+    return OptimizationResult(shape_code, texture_code, history,
+                              progress if progress_rays else None)
 
 
 @dataclasses.dataclass
@@ -307,17 +328,28 @@ class CodeOptimizer:
         num_opts: int = 200,
         lr: float = 1e-2,
         lr_half_interval: int = 50,
+        progress_images: bool = False,
     ) -> OptimizationResult:
+        """``progress_images=True`` additionally returns every step's render
+        of the FIRST target view, reshaped to (num_opts, H, W, 3) in
+        ``result.progress`` — the data behind the reference's per-opt-step
+        progress PNGs (``src/optimizer.py:101,149-166``), collected inside
+        the single jitted scan (the loss renders those rays anyway)."""
         H, W = images.shape[1:3]
         ro, vd, gt = _flat_target_rays(images, poses, focal, tgt_views, H, W)
-        return optimize_codes(
+        res = optimize_codes(
             self.params, self.hp, ro, vd, gt,
             self.mean_shape, self.mean_texture, key,
             num_opts=num_opts, lr=lr, lr_half_interval=lr_half_interval,
             chunk=self.chunk, fine_params=self.fine_params,
             reference_resets=self.reference_resets,
             use_fused=self.use_fused,
+            progress_rays=H * W if progress_images else 0,
         )
+        if progress_images:
+            res = res._replace(
+                progress=res.progress.reshape(num_opts, H, W, 3))
+        return res
 
     def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
         net_cfg, rcfg = self.hp.net, self.hp.render

@@ -63,7 +63,8 @@ class RenderServer:
             raise ValueError(
                 "use_occupancy requires per-ray sampling: shared_jitter "
                 "cannot carry per-ray occupancy bounds")
-        self._occ_grids: Dict[int, Any] = {}
+        self._occ_grids: Dict[Any, Any] = {}
+        self._occ_build_fn = None
         self._render_fns: Dict[Tuple[int, int, bool], Any] = {}
         self._lock = threading.Lock()
         self._latencies = []
@@ -108,21 +109,45 @@ class RenderServer:
         return self._render_fns[key]
 
     def _get_occ_grid(self, obj: int, shape_code, texture_code):
-        """Per-object grid, built from the trained density on first use
-        (obj == -1: custom codes, built per request — the G^3 sigma eval
-        is one small batched MLP forward)."""
+        """Per-object grid, built from the trained density on first use.
+        The build is ONE jitted call (compiled once per server): unjitted,
+        the G^3 sigma eval ran op-by-op inside the serve lock — many
+        device round-trips per request on a tunneled runtime. Custom-code
+        requests (obj == -1) are cached by a digest of the code bytes, so
+        repeated renders of the same edit don't rebuild."""
         if obj >= 0 and obj in self._occ_grids:
             return self._occ_grids[obj]
-        from codenerf_tpu.config import resolve_dtype
-        from codenerf_tpu.core.occupancy import build_occupancy_grid
+        if obj < 0:
+            import hashlib
 
-        grid = build_occupancy_grid(
-            self.trainables["params"], self.hp.net, shape_code, texture_code,
-            G=self._occ_grid_size, radius=float(self._occ_radius),
-            compute_dtype=resolve_dtype(self.hp.compute_dtype),
-        )
-        if obj >= 0:
-            self._occ_grids[obj] = grid
+            digest = hashlib.sha1(
+                np.asarray(shape_code, np.float32).tobytes()
+                + np.asarray(texture_code, np.float32).tobytes()
+            ).hexdigest()
+            if digest in self._occ_grids:
+                return self._occ_grids[digest]
+        if self._occ_build_fn is None:
+            import jax
+
+            from codenerf_tpu.config import resolve_dtype
+            from codenerf_tpu.core.occupancy import build_occupancy_grid
+
+            def build(sc, tc):
+                return build_occupancy_grid(
+                    self.trainables["params"], self.hp.net, sc, tc,
+                    G=self._occ_grid_size, radius=float(self._occ_radius),
+                    compute_dtype=resolve_dtype(self.hp.compute_dtype),
+                )
+
+            self._occ_build_fn = jax.jit(build)
+        grid = self._occ_build_fn(shape_code, texture_code)
+        if obj < 0:
+            # Bound the custom-code cache (object grids are bounded by the
+            # table size already).
+            digests = [k for k in self._occ_grids if isinstance(k, str)]
+            if len(digests) >= 32:
+                del self._occ_grids[digests[0]]
+        self._occ_grids[obj if obj >= 0 else digest] = grid
         return grid
 
     def render(self, req: Dict[str, Any]) -> np.ndarray:

@@ -41,6 +41,26 @@ from codenerf_tpu.training.state import TrainState
 Batch = Dict[str, jnp.ndarray]
 
 
+def expand_compact_batch(batch: Batch, tables: Batch) -> Batch:
+    """Expand a compact index batch (obj i32, view i32, uv i16, rgb u8 — see
+    ``RayBatchPipeline.sample(compact=True)``) into the per-ray layout the
+    loss consumes, gathering pose/focal from the device-resident tables.
+
+    This moves the batch's pose/rgb expansion from the host (76 B/ray over
+    the H2D link — the per-ray (3,4) f32 pose dominated the transfer, and
+    the tunnel link is both slow and flaky) to a few device gathers
+    (15 B/ray shipped). ``rgb/255.0`` matches the host-side float conversion
+    bit-for-bit (same f32 division)."""
+    obj = batch["obj"]
+    return {
+        "obj": obj,
+        "uv": batch["uv"].astype(jnp.float32),
+        "c2w": tables["c2w"][obj, batch["view"]],
+        "focal": tables["focal"][obj],
+        "rgb": batch["rgb"].astype(jnp.float32) / 255.0,
+    }
+
+
 def reset_adam_state(opt_state):
     """Zero every ScaleByAdamState (count, mu, nu) inside an optax state
     pytree, leaving schedule counts and everything else untouched — the
@@ -106,6 +126,7 @@ def build_train_step(
     microbatch_rays: int = 0,
     batch_size: int = 0,
     mesh=None,
+    compact: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns the un-jitted step function; callers jit it with the sharding
     constraints they want (see ``parallel/mesh.py`` and ``Trainer``).
@@ -117,6 +138,11 @@ def build_train_step(
     TPU-native analog of the reference's serial 2048-ray chunk loop with
     grad accumulation, ``src/trainer.py:69-84``, minus its per-image
     zero_grad bug).
+
+    ``compact=True`` makes the returned step take a trailing ``tables``
+    argument (the pipeline's device-resident pose/focal tables) and expect
+    the compact index-batch layout, expanded on-device by
+    :func:`expand_compact_batch` before the loss.
 
     ``mesh`` is required when ``hp.use_fused_train`` runs under a device
     mesh: XLA's SPMD partitioner cannot split a Pallas call on its own, so
@@ -382,7 +408,9 @@ def build_train_step(
 
     reset_every = hp.quirks.optimizer_reset_every
 
-    def _step(state: TrainState, batch: Batch, occ_grid):
+    def _step(state: TrainState, batch: Batch, occ_grid, tables=None):
+        if tables is not None:
+            batch = expand_compact_batch(batch, tables)
         rng, key = jax.random.split(state.rng)
         grads, metrics = full_grads(state.trainables, batch, key, occ_grid)
         opt_state_in = state.opt_state
@@ -405,11 +433,17 @@ def build_train_step(
         )
         return new_state, metrics
 
-    if use_occ:
+    if use_occ and compact:
+        def train_step(state: TrainState, batch: Batch, occ_grid, tables):
+            return _step(state, batch, occ_grid, tables)
+    elif use_occ:
         # 3-arg step: the (traced) occupancy grid is per-step input so the
         # periodic density refresh never triggers a recompile.
         def train_step(state: TrainState, batch: Batch, occ_grid):
             return _step(state, batch, occ_grid)
+    elif compact:
+        def train_step(state: TrainState, batch: Batch, tables):
+            return _step(state, batch, None, tables)
     else:
         def train_step(state: TrainState, batch: Batch):
             return _step(state, batch, None)

@@ -60,10 +60,16 @@ class Trainer:
         check_iter: int = 10000,
         max_objects: Optional[int] = None,
         microbatch_rays: int = 0,
+        compact_batches: bool = True,
     ):
         """``dataset`` is anything exposing images/poses/focals/H/W (an
         :class:`SRNDataset` or a synthetic scene dict); when omitted it is
-        loaded from ``hparams.data`` like the reference does."""
+        loaded from ``hparams.data`` like the reference does.
+
+        ``compact_batches`` (default on) ships 15 B/ray index batches and
+        gathers pose/focal from device-resident tables inside the step —
+        5x less H2D than the expanded 76 B/ray layout (the per-ray f32
+        pose dominated the transfer over the tunneled device link)."""
         self.hp = hparams
         self.B = int(batch_size)
         self.mesh = mesh
@@ -102,23 +108,32 @@ class Trainer:
         )
 
         self._init_occupancy()
+        self.compact = bool(compact_batches)
         step_fn = build_train_step(self.hp, self.H, self.W, self.tx,
                                    microbatch_rays=microbatch_rays,
-                                   batch_size=self.B, mesh=mesh)
+                                   batch_size=self.B, mesh=mesh,
+                                   compact=self.compact)
+        batch_keys = (("obj", "view", "uv", "rgb") if self.compact
+                      else ("obj", "uv", "c2w", "focal", "rgb"))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             st_sh = state_shardings(mesh, self.state)
             b_sh = batch_sharding(mesh)
-            batch_shardings = {
-                k: b_sh for k in ("obj", "uv", "c2w", "focal", "rgb")
-            }
+            rep = NamedSharding(mesh, PartitionSpec())
+            batch_shardings = {k: b_sh for k in batch_keys}
             self._batch_sharding = batch_shardings
             self.state = jax.device_put(self.state, st_sh)
+            self._tables = (
+                jax.device_put(self.pipeline.tables(),
+                               {"c2w": rep, "focal": rep})
+                if self.compact else None
+            )
             in_sh = [st_sh, batch_shardings]
             if self._occ is not None:
-                rep = NamedSharding(mesh, PartitionSpec())
                 in_sh.append(type(self._occ)(occ=rep, radius=rep))
+            if self.compact:
+                in_sh.append({"c2w": rep, "focal": rep})
             self._train_step = jax.jit(
                 step_fn,
                 in_shardings=tuple(in_sh),
@@ -127,6 +142,8 @@ class Trainer:
             )
         else:
             self._batch_sharding = None
+            self._tables = (jax.device_put(self.pipeline.tables())
+                            if self.compact else None)
             self._train_step = jax.jit(step_fn, donate_argnums=0)
 
         self._render_fn = None
@@ -149,14 +166,30 @@ class Trainer:
         self._density = jnp.zeros((oc.grid_size,) * 3, jnp.float32)
         self._occ = occ_mod.full_grid(oc.grid_size, self._occ_radius)
         self._occ_cursor = 0
+        self._occ_seeded = False
         cd = resolve_dtype(self.hp.compute_dtype)
 
-        def upd(density, trainables, obj_idx):
+        k = min(oc.codes_per_update, self.n_objects)
+        rounds = -(-self.n_objects // k)  # ceil
+        if rounds > 1 and oc.decay ** rounds < 0.5:
+            import warnings
+
+            warnings.warn(
+                f"train_occupancy: codes_per_update={k} covers "
+                f"{self.n_objects} objects in {rounds} rounds, and "
+                f"decay^rounds = {oc.decay ** rounds:.3f} < 0.5 — cells kept "
+                "alive only by rarely-refreshed objects will decay below "
+                "threshold between their refreshes. Raise codes_per_update "
+                "or decay.",
+                stacklevel=3,
+            )
+
+        def upd(density, trainables, obj_idx, decay):
             d = occ_mod.update_density_grid(
                 density, trainables["params"], self.hp.net,
                 trainables["shape_codes"][obj_idx],
                 trainables["texture_codes"][obj_idx],
-                self._occ_radius, decay=oc.decay, compute_dtype=cd,
+                self._occ_radius, decay=decay, compute_dtype=cd,
             )
             grid = occ_mod.grid_from_density(
                 d, self._occ_radius, sigma_threshold=oc.sigma_threshold,
@@ -164,7 +197,7 @@ class Trainer:
             )
             return d, grid
 
-        self._occ_update_fn = jax.jit(upd)
+        self._occ_update_fn = jax.jit(upd, static_argnames="decay")
 
     def _update_occupancy(self) -> None:
         oc = self.hp.train_occupancy
@@ -172,15 +205,38 @@ class Trainer:
         idx = (np.arange(k) + self._occ_cursor) % self.n_objects
         self._occ_cursor = int((self._occ_cursor + k) % self.n_objects)
         self._density, self._occ = self._occ_update_fn(
-            self._density, self.state.trainables, jnp.asarray(idx)
+            self._density, self.state.trainables, jnp.asarray(idx), oc.decay
         )
+
+    def _rebuild_occupancy(self) -> None:
+        """Full grid rebuild covering EVERY object (decay=1.0 — a pure
+        max-union over all current codes). Used at the warmup boundary and
+        on post-warmup resume: a single incremental update there would see
+        only ``codes_per_update`` objects and mark every other object's
+        cells empty, collapsing their rays to the degenerate near-bound
+        span until round-robin coverage completed."""
+        oc = self.hp.train_occupancy
+        k = min(oc.codes_per_update, self.n_objects)
+        self._density = jnp.zeros_like(self._density)
+        for start in range(0, self.n_objects, k):
+            # Fixed chunk size (wrap modulo) so every call hits the same
+            # compiled executable.
+            idx = (np.arange(k) + start) % self.n_objects
+            self._density, self._occ = self._occ_update_fn(
+                self._density, self.state.trainables, jnp.asarray(idx), 1.0
+            )
+        self._occ_cursor = 0
+        self._occ_seeded = True
 
     def _maybe_update_occupancy(self, next_step: int) -> None:
         oc = self.hp.train_occupancy
         if oc is None:
             return
         if next_step >= oc.warmup and next_step % oc.update_every == 0:
-            self._update_occupancy()
+            if self._occ_seeded:
+                self._update_occupancy()
+            else:
+                self._rebuild_occupancy()
 
     # ------------------------------------------------------------------ ckpt
     def save_checkpoint(self) -> str:
@@ -217,13 +273,15 @@ class Trainer:
         start = int(self.state.step)
         crop_phase = start < iters_crop
         batches = self.pipeline.prefetch(self.B, crop=crop_phase,
-                                         transform=self._stage)
+                                         transform=self._stage,
+                                         compact=self.compact)
 
         occ_cfg = self.hp.train_occupancy
         if occ_cfg is not None and start >= occ_cfg.warmup:
             # Resume past warmup: the density field is rebuilt from the
-            # restored model immediately (it is not checkpointed).
-            self._update_occupancy()
+            # restored model immediately (it is not checkpointed) — over
+            # ALL objects, not one round-robin window.
+            self._rebuild_occupancy()
         step = start
         try:
             for step in range(start, iters_all):
@@ -231,13 +289,11 @@ class Trainer:
                     crop_phase = False
                     batches.close()  # stop the crop-phase worker
                     batches = self.pipeline.prefetch(self.B, crop=False,
-                                                     transform=self._stage)
+                                                     transform=self._stage,
+                                                     compact=self.compact)
                 batch = next(batches)
-                if self._occ is not None:
-                    self.state, metrics = self._train_step(
-                        self.state, batch, self._occ)
-                else:
-                    self.state, metrics = self._train_step(self.state, batch)
+                self.state, metrics = self._train_step(
+                    self.state, batch, *self._step_extras())
                 rays_since_log += self.B
 
                 next_step = step + 1
@@ -286,16 +342,27 @@ class Trainer:
         import jax.profiler
 
         trace_dir = trace_dir or os.path.join(self.save_dir, "profile")
-        batch = self._put(self.pipeline.sample(self.B))
-        occ = (self._occ,) if self._occ is not None else ()
-        self.state, m = self._train_step(self.state, batch, *occ)  # compile
+        batch = self._put(self.pipeline.sample(self.B, compact=self.compact))
+        extras = self._step_extras()
+        self.state, m = self._train_step(self.state, batch, *extras)  # compile
         np.asarray(m["loss"])
         jax.profiler.start_trace(trace_dir)
         for _ in range(n_steps):
-            self.state, m = self._train_step(self.state, batch, *occ)
+            self.state, m = self._train_step(self.state, batch, *extras)
         np.asarray(m["loss"])  # host fetch = real device sync on axon
         jax.profiler.stop_trace()
         return trace_dir
+
+    def _step_extras(self) -> tuple:
+        """Trailing train-step arguments beyond (state, batch): the
+        occupancy grid (when configured) and the device-resident
+        pose/focal tables (compact batches)."""
+        extras = ()
+        if self._occ is not None:
+            extras += (self._occ,)
+        if self.compact:
+            extras += (self._tables,)
+        return extras
 
     # ------------------------------------------------------------- utilities
     def _put(self, batch: Dict[str, np.ndarray]):

@@ -81,9 +81,76 @@ void sample_range(const Args& a, int64_t lo, int64_t hi) {
   }
 }
 
+struct CompactArgs {
+  const uint8_t* images;  // (N, V, H, W, 3) uint8
+  int64_t N, V, H, W, B;
+  uint64_t seed, step;
+  int64_t v0, v1, u0, u1;
+  int32_t* out_obj;   // (B,)
+  int32_t* out_view;  // (B,)
+  int16_t* out_uv;    // (B, 2) u,v
+  uint8_t* out_rgb;   // (B, 3)
+};
+
+// Identical RNG chain to sample_range: both layouts pick the same
+// (object, view, pixel) triples for a given (seed, step, index).
+void sample_range_compact(const CompactArgs& a, int64_t lo, int64_t hi) {
+  const int64_t du = a.u1 - a.u0;
+  const int64_t dv = a.v1 - a.v0;
+  for (int64_t i = lo; i < hi; ++i) {
+    const uint64_t base =
+        splitmix64(a.seed ^ splitmix64(a.step * 0x2545F4914F6CDD1DULL + i));
+    const int64_t obj = static_cast<int64_t>(bounded(splitmix64(base ^ 1), a.N));
+    const int64_t view = static_cast<int64_t>(bounded(splitmix64(base ^ 2), a.V));
+    const int64_t pu = a.u0 + static_cast<int64_t>(bounded(splitmix64(base ^ 3), du));
+    const int64_t pv = a.v0 + static_cast<int64_t>(bounded(splitmix64(base ^ 4), dv));
+
+    a.out_obj[i] = static_cast<int32_t>(obj);
+    a.out_view[i] = static_cast<int32_t>(view);
+    a.out_uv[2 * i] = static_cast<int16_t>(pu);
+    a.out_uv[2 * i + 1] = static_cast<int16_t>(pv);
+    const uint8_t* px =
+        a.images + (((obj * a.V + view) * a.H + pv) * a.W + pu) * 3;
+    uint8_t* rgb = a.out_rgb + i * 3;
+    rgb[0] = px[0];
+    rgb[1] = px[1];
+    rgb[2] = px[2];
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Compact index-batch layout (obj i32, view i32, uv i16, rgb u8 — 15 B/ray
+// vs the expanded layout's 76): pose/focal stay in device-resident tables
+// and are gathered inside the train step. Returns 0 on success.
+int cn_sample_batch_compact(const uint8_t* images, int64_t N, int64_t V,
+                            int64_t H, int64_t W, int64_t B, uint64_t seed,
+                            uint64_t step, int64_t v0, int64_t v1, int64_t u0,
+                            int64_t u1, int32_t* out_obj, int32_t* out_view,
+                            int16_t* out_uv, uint8_t* out_rgb,
+                            int n_threads) {
+  if (N <= 0 || V <= 0 || H <= 0 || W <= 0 || B <= 0) return 1;
+  if (v0 < 0 || v1 > H || u0 < 0 || u1 > W || v0 >= v1 || u0 >= u1) return 2;
+  if (H > 32767 || W > 32767) return 3;  // uv is int16
+  CompactArgs a{images, N,  V,  H,  W,       B,        seed,   step,
+                v0,     v1, u0, u1, out_obj, out_view, out_uv, out_rgb};
+  if (n_threads <= 1 || B < 4096) {
+    sample_range_compact(a, 0, B);
+    return 0;
+  }
+  std::vector<std::thread> threads;
+  const int64_t chunk = (B + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk;
+    const int64_t hi = lo + chunk < B ? lo + chunk : B;
+    if (lo >= hi) break;
+    threads.emplace_back([&a, lo, hi] { sample_range_compact(a, lo, hi); });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
 
 // Returns 0 on success.
 int cn_sample_batch(const uint8_t* images, const float* poses,

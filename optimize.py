@@ -45,6 +45,11 @@ def main() -> None:
     parser.add_argument("--lr", type=float, default=1e-2)
     parser.add_argument("--lr_half_interval", type=int, default=50)
     parser.add_argument("--save_img", type=str2bool, default=True)
+    parser.add_argument("--save_progress", type=str2bool, default=True,
+                        help="write a side-by-side PNG of the first target "
+                             "view at EVERY optimization step (the "
+                             "reference writes these unconditionally — its "
+                             "save_img flag is dead, src/optimizer.py:101)")
     parser.add_argument("--jsonfile", type=str, default="srncar.json")
     parser.add_argument("--batchsize", type=int, default=4096)
     parser.add_argument("--exps_root", type=str, default="exps")
@@ -133,7 +138,19 @@ def main() -> None:
             imgs, poses, focal, args.tgt_instances, k_opt,
             num_opts=args.num_opts, lr=args.lr,
             lr_half_interval=args.lr_half_interval,
+            progress_images=args.save_progress,
         )
+        if args.save_progress:
+            # Per-opt-step progress PNGs, reference layout
+            # (src/optimizer.py:149-166): render | GT of the first target
+            # view at every step.
+            obj_dir = os.path.join(save_dir, ds.ids[oi])
+            os.makedirs(obj_dir, exist_ok=True)
+            v0 = args.tgt_instances[0]
+            prog = np.asarray(res.progress)
+            for t in range(prog.shape[0]):
+                save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
+                         side_by_side(prog[t], imgs[v0]))
         ev = optimizer.evaluate_object(
             imgs, poses, focal, args.tgt_instances,
             res.shape_code, res.texture_code, k_eval,

@@ -16,11 +16,11 @@ def test_crash_leaves_resumable_checkpoint(tiny_scene, tiny_hparams, tmp_path):
     real_step = tr._train_step
     calls = {"n": 0}
 
-    def dying_step(state, batch):
+    def dying_step(state, batch, *extras):
         calls["n"] += 1
         if calls["n"] > 7:
             raise RuntimeError("simulated device failure")
-        return real_step(state, batch)
+        return real_step(state, batch, *extras)
 
     tr._train_step = dying_step
     with pytest.raises(RuntimeError, match="simulated device failure"):

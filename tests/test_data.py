@@ -124,6 +124,43 @@ def test_prefetch_yields_batches(tiny_scene):
     it.close()
 
 
+def test_compact_sample_matches_expanded(srn_dir):
+    """Compact and expanded layouts must pick the SAME rays from a given
+    stream state, and expanding the compact batch on-device must reproduce
+    the expanded batch exactly."""
+    import jax.numpy as jnp
+
+    from codenerf_tpu.training.train_step import expand_compact_batch
+
+    root, scene = srn_dir
+    pipe_a = RayBatchPipeline(scene["images"], scene["poses"],
+                              scene["focals"], seed=3)
+    pipe_b = RayBatchPipeline(scene["images"], scene["poses"],
+                              scene["focals"], seed=3)
+    full = pipe_a.sample(256)
+    comp = pipe_b.sample(256, compact=True)
+    assert comp["uv"].dtype == np.int16 and comp["rgb"].dtype == np.uint8
+    np.testing.assert_array_equal(full["obj"], comp["obj"])
+    np.testing.assert_array_equal(full["uv"].astype(np.int16), comp["uv"])
+
+    tables = {k: jnp.asarray(v) for k, v in pipe_b.tables().items()}
+    exp = expand_compact_batch(
+        {k: jnp.asarray(v) for k, v in comp.items()}, tables)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(exp[k]), full[k],
+                                      err_msg=k)
+
+
+def test_compact_crop_bounds(srn_dir):
+    root, scene = srn_dir
+    pipe = RayBatchPipeline(scene["images"], scene["poses"],
+                            scene["focals"], seed=1)
+    b = pipe.sample(512, crop=True, compact=True)
+    H, W = pipe.H, pipe.W
+    assert b["uv"][:, 0].min() >= W // 4 and b["uv"][:, 0].max() < W - W // 4
+    assert b["uv"][:, 1].min() >= H // 4 and b["uv"][:, 1].max() < H - H // 4
+
+
 def test_prefetch_worker_failure_raises(tiny_scene):
     """A crashing transform (e.g. a flaky device_put) must surface as an
     exception on the consumer, not leave it blocked on an empty queue."""

@@ -85,3 +85,25 @@ def test_ssim_grayscale(rng):
     ours = float(ssim(jnp.asarray(x), jnp.asarray(y), data_range=1.0))
     theirs = _scipy_ssim_channel(x, y, 1.0)
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_ssim_matches_real_skimage_when_available():
+    """Direct gate against the ACTUAL library call the reference makes
+    (src/optimizer.py:168-173: float images, multichannel, no data_range).
+    skimage is not installed in the bench image, so this usually skips —
+    the scipy transcription test above carries the check there — but any
+    environment that has it verifies the real thing."""
+    import pytest
+
+    skimage_metrics = pytest.importorskip("skimage.metrics")
+
+    rng = np.random.default_rng(17)
+    a = rng.uniform(0, 1, (40, 40, 3)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1)
+    try:
+        want = skimage_metrics.structural_similarity(a, b, multichannel=True)
+    except TypeError:  # skimage >= 0.19 renamed the kwarg
+        want = skimage_metrics.structural_similarity(a, b, channel_axis=-1)
+    got = float(ssim(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+                     data_range=2.0))
+    np.testing.assert_allclose(got, want, atol=2e-5)

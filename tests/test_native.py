@@ -107,6 +107,45 @@ def test_pipeline_native_backend():
     assert not np.array_equal(b["uv"], b2["uv"])
 
 
+def test_compact_matches_full_layout():
+    """cn_sample_batch_compact shares the RNG chain with cn_sample_batch:
+    identical (obj, view, pixel) picks for the same (seed, step)."""
+    s = _scene(H=32, W=32)
+    full = native.sample_batch(s["images"], s["poses"], s["focals"], 2048,
+                               13, 4, 0, 32, 0, 32)
+    comp = native.sample_batch_compact(s["images"], s["poses"], s["focals"],
+                                       2048, 13, 4, 0, 32, 0, 32)
+    assert comp["uv"].dtype == np.int16 and comp["rgb"].dtype == np.uint8
+    np.testing.assert_array_equal(full["obj"], comp["obj"])
+    np.testing.assert_array_equal(full["uv"].astype(np.int16), comp["uv"])
+    np.testing.assert_allclose(comp["rgb"].astype(np.float32) / 255.0,
+                               full["rgb"], atol=1e-7)
+    # view index consistency: the gathered pose must be that view's pose
+    for i in range(0, 2048, 111):
+        o, v = comp["obj"][i], comp["view"][i]
+        np.testing.assert_allclose(s["poses"][o, v, :3, :], full["c2w"][i],
+                                   atol=1e-6)
+
+
+def test_compact_thread_count_invariance():
+    s = _scene(H=32, W=32)
+    a = native.sample_batch_compact(s["images"], s["poses"], s["focals"],
+                                    8192, 3, 9, 0, 32, 0, 32, n_threads=1)
+    b = native.sample_batch_compact(s["images"], s["poses"], s["focals"],
+                                    8192, 3, 9, 0, 32, 0, 32, n_threads=8)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_pipeline_native_compact_backend():
+    s = _scene()
+    pipe = RayBatchPipeline(s["images"], s["poses"], s["focals"], seed=5,
+                            backend="native")
+    b = pipe.sample(128, compact=True)
+    assert set(b) == {"obj", "view", "uv", "rgb"}
+    assert b["rgb"].dtype == np.uint8
+
+
 def test_error_codes():
     s = _scene()
     with pytest.raises(RuntimeError):

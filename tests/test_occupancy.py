@@ -247,3 +247,53 @@ def test_trainer_with_train_occupancy_converges(tmp_path):
     w_sphere = float(jnp.mean(t1 - t0))
     w_occ = float(jnp.mean(n1 - n0))
     assert w_occ < w_sphere, (w_occ, w_sphere)
+
+
+def test_occupancy_rebuild_covers_all_objects(tmp_path):
+    """Post-warmup resume (and the warmup boundary itself) must rebuild the
+    grid over EVERY object: with codes_per_update=1, a single incremental
+    update would cover one object only and mark the other's cells empty,
+    collapsing its rays to a degenerate span until round-robin came back."""
+    import dataclasses as dc
+
+    from codenerf_tpu.config import (
+        Hparams, LrSchedule, NetConfig, RenderConfig, TrainOccupancyConfig,
+    )
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.training.trainer import Trainer
+
+    scene = synthetic_scene(n_objects=2, n_views=6, H=16, W=16, seed=3)
+    hp = Hparams(
+        net=NetConfig(shape_blocks=2, texture_blocks=1, W=64,
+                      num_xyz_freq=6, num_dir_freq=2, latent_dim=32),
+        render=RenderConfig(n_samples=16, near=scene["near"],
+                            far=scene["far"], bound_sphere_radius=1.3),
+        lr_model=LrSchedule(5e-4, 100_000), lr_codes=LrSchedule(5e-3, 100_000),
+        check_points=200, compute_dtype="float32",
+        train_occupancy=TrainOccupancyConfig(
+            grid_size=16, update_every=50, warmup=100,
+            codes_per_update=1, sigma_threshold=0.2, decay=0.9),
+    )
+    tr = Trainer("occ_resume", hp, batch_size=512, dataset=scene,
+                 exps_root=str(tmp_path), check_iter=0)
+    tr.training(iters_crop=0, iters_all=200, log_every=100)
+
+    # Fresh trainer, resume past warmup: grid must cover both objects.
+    tr2 = Trainer("occ_resume", hp, batch_size=512, dataset=scene,
+                  exps_root=str(tmp_path), check_iter=0)
+    assert tr2.resume()
+    tr2._rebuild_occupancy()
+    rebuilt = np.asarray(tr2._occ.occ)
+
+    # Per-object grids via a single-window update from the same state.
+    def single(idx):
+        d = jnp.zeros_like(tr2._density)
+        _, g = tr2._occ_update_fn(d, tr2.state.trainables,
+                                  jnp.asarray([idx]), 1.0)
+        return np.asarray(g.occ)
+
+    g0, g1 = single(0), single(1)
+    union = g0 | g1
+    # (At this coarse 16^3 grid the two spheres' cell sets may coincide;
+    # the union-equality below is the real contract.)
+    assert (rebuilt == union).all(), "rebuild is not the union over objects"

@@ -203,3 +203,26 @@ def test_code_optimization_with_raw_hparams(trained):
         key=jax.random.PRNGKey(0), num_opts=3,
     )
     assert np.isfinite(np.asarray(result.psnr_history)).all()
+
+
+def test_progress_images_collected_and_inert(trained):
+    """progress_images=True returns (num_opts, H, W, 3) per-step renders of
+    the first target view (the reference's per-opt-step progress PNG data,
+    src/optimizer.py:149-166), improves over the run, and does NOT change
+    the optimization itself (same key -> same codes either way)."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    obj = 0
+    imgs, poses = _images_f32(scene, obj), scene["poses"][obj]
+    H, W = imgs.shape[1:3]
+    kw = dict(tgt_views=[0], key=jax.random.PRNGKey(3), num_opts=8)
+    res_p = opt.optimize_object(imgs, poses, float(scene["focals"][obj]),
+                                progress_images=True, **kw)
+    res_n = opt.optimize_object(imgs, poses, float(scene["focals"][obj]),
+                                **kw)
+    assert res_n.progress is None
+    assert res_p.progress.shape == (8, H, W, 3)
+    np.testing.assert_array_equal(np.asarray(res_p.shape_code),
+                                  np.asarray(res_n.shape_code))
+    gt = imgs[0]
+    mse = lambda t: float(np.mean((np.asarray(res_p.progress[t]) - gt) ** 2))
+    assert mse(7) < mse(0)

@@ -25,8 +25,8 @@ def test_step_halving_schedule():
 def test_training_improves_psnr(tiny_scene, tiny_hparams, tmp_path):
     tr = Trainer("t1", tiny_hparams, batch_size=512, dataset=tiny_scene,
                  exps_root=str(tmp_path), check_iter=0)
-    b0 = tr._put(tr.pipeline.sample(512))
-    _, m0 = tr._train_step(tr.state, b0)
+    b0 = tr._put(tr.pipeline.sample(512, compact=tr.compact))
+    _, m0 = tr._train_step(tr.state, b0, *tr._step_extras())
     psnr0 = float(m0["psnr"])
     # re-init (train_step donated the state)
     tr = Trainer("t1", tiny_hparams, batch_size=512, dataset=tiny_scene,
@@ -350,3 +350,28 @@ def test_reference_resets_in_code_optimization(tiny_scene, tiny_hparams):
                                np.asarray(r_p.psnr_history[:4]), rtol=1e-5)
     assert not np.allclose(np.asarray(r_q.shape_code),
                            np.asarray(r_p.shape_code))
+
+
+def test_compact_trainer_matches_legacy(tiny_scene, tiny_hparams, tmp_path):
+    """Compact index batches (device-side pose/rgb expansion) must follow
+    the same training trajectory as the expanded 76 B/ray layout: both
+    layouts draw identical rays from a given stream and the on-device
+    expansion reproduces the host floats bitwise (test_data covers that
+    exactly). The two jitted programs differ in XLA fusion choices, so
+    per-step f32 rounding differs in the last ulp and Adam amplifies it —
+    compare trajectories within a small tolerance, not bitwise."""
+
+    def run(compact, name):
+        tr = Trainer(name, tiny_hparams, batch_size=256, dataset=tiny_scene,
+                     exps_root=str(tmp_path), check_iter=0,
+                     compact_batches=compact)
+        m = tr.training(iters_crop=5, iters_all=20, log_every=10)
+        return tr.state.trainables, m
+
+    a, ma = run(True, "tc_a")
+    b, mb = run(False, "tc_b")
+    assert abs(ma["psnr"] - mb["psnr"]) < 0.1, (ma, mb)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   atol=5e-3)
