@@ -42,6 +42,7 @@ _EXTENSION_KEYS = {
     "fused_composite",
     "train_occupancy",
     "bound_sphere_radius",
+    "occ_probes",
     "reference_quirks",
 }
 
@@ -97,8 +98,11 @@ class RenderConfig:
     bound_sphere_radius: Optional[float] = None
     # Probes per ray for occupancy-grid interval tightening
     # (core/occupancy.py), used when an OccupancyGrid is passed to the
-    # renderer.
-    occ_probes: int = 64
+    # renderer. Measured on v5e at 16K rays, G=64, dilate=1: 32 probes
+    # produce the same mean interval width as 64 (0.1666 vs 0.1661 — the
+    # dilation makes cell hits robust to probe spacing) at 1.6x less
+    # z-generation time (2.6 vs 4.2 ms).
+    occ_probes: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +234,7 @@ class Hparams:
             "shared_jitter": self.render.shared_jitter,
             "hierarchical_share_weights": self.render.share_fine_weights,
             "bound_sphere_radius": self.render.bound_sphere_radius,
+            "occ_probes": self.render.occ_probes,
             "compute_dtype": self.compute_dtype,
             "weight_decay": self.weight_decay,
             "seed": self.seed,
@@ -263,6 +268,7 @@ def hparams_from_dict(cfg: Dict[str, Any], strict: bool = True) -> Hparams:
             float(cfg["bound_sphere_radius"])
             if cfg.get("bound_sphere_radius") is not None else None
         ),
+        occ_probes=int(cfg.get("occ_probes", 32)),
     )
     sched = cfg.get(
         "lr_schedule",
