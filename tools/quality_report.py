@@ -10,7 +10,18 @@ to synthetic scenes since ShapeNet-SRN is not available on this machine):
      remaining views,
   3. write RESULTS.md with the numbers plus side-by-side renders.
 
-Usage: python tools/quality_report.py [--steps 3000] [--out results_dir]
+``--seeds a,b,c`` repeats the whole pipeline per seed (seed varies BOTH the
+synthetic category draw and the training RNG) and writes a SUMMARY.md with
+mean ± std across seeds — single-seed numbers on 3-4 held-out objects carry
+~2 dB of protocol noise (per-object spread is larger still), so quality
+claims should quote the seed statistics.
+
+The 16-train-object protocol (the default here since round 3) is the
+standard: category-size scaling measurements (docs/QUALITY_SYNTHETIC.md)
+show 8-object categories overfit their latent space and understate held-out
+quality by ~4 dB vs 16 objects; real SRN-cars has 2,458.
+
+Usage: python tools/quality_report.py [--steps 10000] [--seeds 0,1,2]
 """
 
 import argparse
@@ -23,27 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--num_opts", type=int, default=200)
-    ap.add_argument("--n_train_objects", type=int, default=6)
-    ap.add_argument("--n_test_objects", type=int, default=3)
-    ap.add_argument("--n_views", type=int, default=16)
-    ap.add_argument("--size", type=int, default=64)
-    ap.add_argument("--samples", type=int, default=64)
-    ap.add_argument("--out", type=str, default="/tmp/codenerf_quality")
-    ap.add_argument("--use_fused", action="store_true",
-                    help="single-pass fused training kernels + codes-only "
-                         "fused test-time optimization")
-    ap.add_argument("--bound_radius", type=float, default=None,
-                    help="per-ray bounding-sphere sampling (synthetic "
-                         "objects fit in 1.4)")
-    ap.add_argument("--occ", action="store_true",
-                    help="training-time occupancy-grid sampling "
-                         "(requires --bound_radius)")
-    args = ap.parse_args()
-
+def run_once(args, seed: int, out_dir: str) -> dict:
     import jax
 
     from codenerf_tpu.config import (
@@ -57,14 +48,13 @@ def main() -> None:
     from codenerf_tpu.models.codes import mean_code
     from codenerf_tpu.optimization.codes_opt import CodeOptimizer
     from codenerf_tpu.training.trainer import Trainer
-    from codenerf_tpu.utils.cache import enable_compilation_cache
     from codenerf_tpu.utils.images import save_png, side_by_side
 
-    enable_compilation_cache()
-    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     n_total = args.n_train_objects + args.n_test_objects
     scene = synthetic_scene(n_objects=n_total, n_views=args.n_views,
-                            H=args.size, W=args.size, seed=11, pattern=True)
+                            H=args.size, W=args.size, seed=11 + 100 * seed,
+                            pattern=True)
     train_scene = {
         "images": scene["images"][: args.n_train_objects],
         "poses": scene["poses"][: args.n_train_objects],
@@ -81,17 +71,18 @@ def main() -> None:
         lr_model=LrSchedule(5e-4, 1_000_000),
         lr_codes=LrSchedule(5e-3, 1_000_000),
         check_points=0,
+        seed=seed,
         use_fused_train=args.use_fused,
         train_occupancy=TrainOccupancyConfig() if args.occ else None,
     )
     t0 = time.time()
-    trainer = Trainer("quality", hp, batch_size=8192, dataset=train_scene,
-                      exps_root=args.out, check_iter=0)
+    trainer = Trainer(f"quality_s{seed}", hp, batch_size=8192,
+                      dataset=train_scene, exps_root=out_dir, check_iter=0)
     m = trainer.training(iters_crop=args.steps // 6, iters_all=args.steps,
                          log_every=max(100, args.steps // 10))
     train_time = time.time() - t0
-    print(f"train: {args.steps} steps in {train_time:.0f}s, "
-          f"final train psnr {m['psnr']:.2f} dB")
+    print(f"[seed {seed}] train: {args.steps} steps in {train_time:.0f}s, "
+          f"final train psnr {m['psnr']:.2f} dB", flush=True)
 
     tr = trainer.state.trainables
     optimizer = CodeOptimizer(
@@ -102,7 +93,7 @@ def main() -> None:
     )
 
     rows = []
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(seed)
     for i in range(args.n_test_objects):
         oi = args.n_train_objects + i
         imgs = scene["images"][oi].astype(np.float32) / 255.0
@@ -122,19 +113,20 @@ def main() -> None:
                      float(ev["ssim"].mean()),
                      float(res.psnr_history[0]), float(res.psnr_history[-1])))
         strip = side_by_side(ev["images"][:3], imgs[ev["views"][:3]])
-        save_png(os.path.join(args.out, f"heldout_{i}.png"), strip)
-        print(f"object {i}: eval psnr {rows[-1][1]:.2f} dB, "
-              f"ssim {rows[-1][2]:.4f}")
+        save_png(os.path.join(out_dir, f"heldout_{i}.png"), strip)
+        print(f"[seed {seed}] object {i}: eval psnr {rows[-1][1]:.2f} dB, "
+              f"ssim {rows[-1][2]:.4f}", flush=True)
 
     mean_psnr = float(np.mean([r[1] for r in rows]))
     mean_ssim = float(np.mean([r[2] for r in rows]))
-    with open(os.path.join(args.out, "RESULTS.md"), "w") as f:
+    with open(os.path.join(out_dir, "RESULTS.md"), "w") as f:
         f.write(
             "# Quality report (synthetic, reference eval protocol)\n\n"
             f"- config: W={hp.net.W}, {hp.net.shape_blocks}+"
             f"{hp.net.texture_blocks} blocks, {args.samples} samples/ray, "
             f"{args.size}x{args.size} images, {args.n_train_objects} train / "
-            f"{args.n_test_objects} held-out objects, {args.n_views} views\n"
+            f"{args.n_test_objects} held-out objects, {args.n_views} views, "
+            f"seed {seed}\n"
             f"- kernels/sampling: use_fused={args.use_fused}, "
             f"bound_radius={args.bound_radius}, occupancy={args.occ}\n"
             f"- training: {args.steps} steps (crop->full), "
@@ -148,8 +140,74 @@ def main() -> None:
         for name, p, s, h0, h1 in rows:
             f.write(f"| {name} | {p:.2f} | {s:.4f} | {h0:.1f} -> {h1:.1f} |\n")
         f.write(f"| **mean** | **{mean_psnr:.2f}** | **{mean_ssim:.4f}** | |\n")
-    print(f"\nmean held-out PSNR {mean_psnr:.2f} dB, SSIM {mean_ssim:.4f}")
-    print(f"wrote {args.out}/RESULTS.md")
+    print(f"[seed {seed}] mean held-out PSNR {mean_psnr:.2f} dB, "
+          f"SSIM {mean_ssim:.4f}", flush=True)
+    return {"seed": seed, "psnr": mean_psnr, "ssim": mean_ssim,
+            "train_psnr": float(m["psnr"]), "train_s": train_time,
+            "per_object_psnr": [r[1] for r in rows]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=10000)
+    ap.add_argument("--num_opts", type=int, default=200)
+    ap.add_argument("--n_train_objects", type=int, default=16)
+    ap.add_argument("--n_test_objects", type=int, default=4)
+    ap.add_argument("--n_views", type=int, default=24)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--out", type=str, default="/tmp/codenerf_quality")
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma-separated seeds; each reruns the whole "
+                         "pipeline (category draw + training RNG)")
+    ap.add_argument("--use_fused", action="store_true",
+                    help="single-pass fused training kernels + codes-only "
+                         "fused test-time optimization")
+    ap.add_argument("--bound_radius", type=float, default=None,
+                    help="per-ray bounding-sphere sampling (synthetic "
+                         "objects fit in 1.4)")
+    ap.add_argument("--occ", action="store_true",
+                    help="training-time occupancy-grid sampling "
+                         "(requires --bound_radius)")
+    args = ap.parse_args()
+
+    from codenerf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    os.makedirs(args.out, exist_ok=True)
+    seeds = [int(s) for s in args.seeds.split(",") if s != ""]
+    results = []
+    for seed in seeds:
+        results.append(run_once(args, seed,
+                                os.path.join(args.out, f"seed{seed}")
+                                if len(seeds) > 1 else args.out))
+
+    if len(seeds) > 1:
+        ps = np.array([r["psnr"] for r in results])
+        ss = np.array([r["ssim"] for r in results])
+        with open(os.path.join(args.out, "SUMMARY.md"), "w") as f:
+            f.write(
+                "# Multi-seed quality summary\n\n"
+                f"- config: {args.samples} samples, "
+                f"use_fused={args.use_fused}, "
+                f"bound_radius={args.bound_radius}, occ={args.occ}, "
+                f"{args.n_train_objects} train / {args.n_test_objects} "
+                f"held-out objects, {args.n_views} views, {args.steps} "
+                f"steps, seeds {seeds}\n\n"
+                "| seed | held-out PSNR | held-out SSIM | train PSNR | train s |\n"
+                "|---|---|---|---|---|\n")
+            for r in results:
+                f.write(f"| {r['seed']} | {r['psnr']:.2f} | {r['ssim']:.4f} "
+                        f"| {r['train_psnr']:.2f} | {r['train_s']:.0f} |\n")
+            f.write(
+                f"| **mean ± std** | **{ps.mean():.2f} ± {ps.std(ddof=1):.2f}**"
+                f" | **{ss.mean():.4f} ± {ss.std(ddof=1):.4f}** | | |\n")
+        print(f"\nSUMMARY: psnr {ps.mean():.2f} ± {ps.std(ddof=1):.2f} dB, "
+              f"ssim {ss.mean():.4f} ± {ss.std(ddof=1):.4f}")
+        print(f"wrote {args.out}/SUMMARY.md")
+    import json
+
+    print(json.dumps({"psnr_by_seed": [r["psnr"] for r in results]}))
 
 
 if __name__ == "__main__":
