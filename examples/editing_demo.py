@@ -87,6 +87,18 @@ def main() -> None:
     rows = [np.concatenate(list(mat[i]), axis=1) for i in range(mat.shape[0])]
     save_png(os.path.join(args.out, "swap_matrix.png"),
              image_float_to_uint8(np.concatenate(rows, axis=0)))
+
+    # Quantitative check: the swap matrix DIAGONAL (object i's shape with
+    # its own texture) must reproduce the ground-truth view — edits are
+    # only meaningful if the identity edit is faithful.
+    diag_psnr = []
+    for i in range(mat.shape[0]):
+        gt = scene["images"][i, 0].astype(np.float32) / 255.0
+        mse = float(np.mean((mat[i, i] - gt) ** 2))
+        diag_psnr.append(-10.0 * np.log10(mse))
+    print("swap-matrix diagonal vs GT: "
+          + ", ".join(f"{p:.2f}" for p in diag_psnr)
+          + f" dB (mean {np.mean(diag_psnr):.2f})")
     print(f"wrote {args.out}/shape_interp.png, texture_interp.png, swap_matrix.png")
 
 

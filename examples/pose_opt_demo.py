@@ -69,6 +69,19 @@ def main() -> None:
     err_before = float(jnp.abs(bad_pose - gt_pose).mean())
     err_after = float(jnp.abs(result.c2w - gt_pose).mean())
     print(f"pose error: {err_before:.4f} -> {err_after:.4f}")
+
+    def rot_deg(p):
+        Rrel = np.asarray(p)[:3, :3].T @ np.asarray(gt_pose)[:3, :3]
+        c = np.clip((np.trace(Rrel) - 1.0) / 2.0, -1.0, 1.0)
+        return float(np.degrees(np.arccos(c)))
+
+    def trans_err(p):
+        return float(np.linalg.norm(np.asarray(p)[:3, 3]
+                                    - np.asarray(gt_pose)[:3, 3]))
+
+    print(f"rotation error: {rot_deg(bad_pose):.2f} -> "
+          f"{rot_deg(result.c2w):.2f} deg; translation: "
+          f"{trans_err(bad_pose):.4f} -> {trans_err(result.c2w):.4f}")
     print(f"psnr during optimization: {float(result.psnr_history[0]):.2f} -> "
           f"{float(result.psnr_history[-1]):.2f} dB")
 

@@ -67,6 +67,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                       num_xyz_freq=10, num_dir_freq=4, latent_dim=256),
         render=RenderConfig(n_samples=args.samples, near=scene["near"],
                             far=scene["far"],
+                            n_importance=args.n_importance,
                             bound_sphere_radius=args.bound_radius),
         lr_model=LrSchedule(5e-4, 1_000_000),
         lr_codes=LrSchedule(5e-3, 1_000_000),
@@ -128,7 +129,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"{args.n_test_objects} held-out objects, {args.n_views} views, "
             f"seed {seed}\n"
             f"- kernels/sampling: use_fused={args.use_fused}, "
-            f"bound_radius={args.bound_radius}, occupancy={args.occ}\n"
+            f"bound_radius={args.bound_radius}, occupancy={args.occ}, "
+            f"n_importance={args.n_importance}\n"
             f"- training: {args.steps} steps (crop->full), "
             f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
@@ -156,6 +158,9 @@ def main() -> None:
     ap.add_argument("--n_views", type=int, default=24)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--n_importance", type=int, default=0,
+                    help="hierarchical fine samples (BASELINE config #2: "
+                         "coarse+fine importance sampling)")
     ap.add_argument("--out", type=str, default="/tmp/codenerf_quality")
     ap.add_argument("--seeds", type=str, default="0",
                     help="comma-separated seeds; each reruns the whole "
