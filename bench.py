@@ -220,6 +220,57 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
         run_codes_opt()
     codesopt_rays_per_sec = (2 * n_opts * 16384) / (time.perf_counter() - t0)
 
+    # ---- hierarchical coarse+fine (BASELINE config #2:
+    # srncar_hierarchical.json — 64 coarse + 64 fine, shared weights).
+    # Train runs the fused PLANE op under autodiff (the single-pass loss
+    # kernel is coarse-only; hierarchical needs the weights plane), eval
+    # renders coarse+fine through the XLA path.
+    rcfg_h = dataclasses.replace(hp.render, n_samples=64, n_importance=64)
+    hp_h = dataclasses.replace(hp, render=rcfg_h, use_fused_train=True)
+    state_h = create_train_state(jax.random.PRNGKey(0), hp_h,
+                                 pipe.n_objects, tx)
+    step_h = jax.jit(build_train_step(hp_h, pipe.H, pipe.W, tx,
+                                      batch_size=batch),
+                     donate_argnums=0)
+    state_h, m = step_h(state_h, batches[0])
+    sync(m["loss"])
+    for i in range(12):
+        state_h, m = step_h(state_h, batches[i % len(batches)])
+    sync(m["loss"])
+    t0 = time.perf_counter()
+    n_hier_steps = max(10, n_train_steps // 2)
+    for i in range(n_hier_steps):
+        state_h, m = step_h(state_h, batches[i % len(batches)])
+    sync(m["loss"])
+    hier_train_rays_per_sec = (n_hier_steps * batch) / (
+        time.perf_counter() - t0)
+    del state_h
+
+    @jax.jit
+    def render_views_hier(ro, vd, key):
+        def chunk(xs):
+            ro_c, vd_c, k = xs
+            res = render_rays(params, hp.net, rcfg_h, ro_c, vd_c,
+                              shape_code, texture_code, k,
+                              compute_dtype=jnp.bfloat16)
+            return res.final.rgb
+
+        keys = jax.random.split(key, ro.shape[0])
+        return jax.lax.map(chunk, (ro, vd, keys))
+
+    out = render_views_hier(ro, vd, key)
+    sync(out[0, 0, 0])
+    for i in range(3):
+        out = render_views_hier(ro, vd, jax.random.fold_in(key, 3000 + i))
+    sync(out[0, 0, 0])
+    t0 = time.perf_counter()
+    n_hier_disp = max(2, n_render_dispatches // 2)
+    for i in range(n_hier_disp):
+        out = render_views_hier(ro, vd, jax.random.fold_in(key, i))
+    sync(out[0, 0, 0])
+    hier_render_rays_per_sec = (n_hier_disp * rays_per_dispatch) / (
+        time.perf_counter() - t0)
+
     combined = (train_rays + render_rays_total) / (train_time + render_time)
     return {
         "rays_per_sec_combined": combined,
@@ -229,6 +280,8 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
         "rays_per_sec_render_bounded32": eff_rays_per_sec,
         "rays_per_sec_train_bounded48": train_bounded_rays_per_sec,
         "rays_per_sec_codes_opt": codesopt_rays_per_sec,
+        "rays_per_sec_train_hier": hier_train_rays_per_sec,
+        "rays_per_sec_render_hier": hier_render_rays_per_sec,
         "n_devices": len(jax.devices()),
     }
 
@@ -253,6 +306,10 @@ def main() -> None:
                 r["rays_per_sec_train_bounded48"], 1),
             "codes_opt_rays_per_sec": round(
                 r["rays_per_sec_codes_opt"], 1),
+            "hier_train_rays_per_sec": round(
+                r["rays_per_sec_train_hier"], 1),
+            "hier_render_rays_per_sec": round(
+                r["rays_per_sec_render_hier"], 1),
             "n_devices": r["n_devices"],
         },
     }))
