@@ -7,7 +7,20 @@ then recovers pose and codes by gradient descent through ray generation and
 volume rendering. Prints the pose error before/after and writes a
 [initial-guess render | refined render | ground truth] strip.
 
-Usage: python examples/pose_opt_demo.py [--steps 600] [--out DIR]
+Convergence facts (measured on this scene, recorded in BASELINE.md):
+
+- MODEL SHARPNESS GATES POSE IDENTIFIABILITY. At 600 train steps (22.5 dB
+  train PSNR) the photometric optimum is NOT at the GT pose — every
+  optimizer setting reaches >= train PSNR while rotation error stays at or
+  above the 6.2 deg perturbation. At 2500 steps (27.5 dB) the same
+  optimizer recovers the pose exactly (rot -> ~0 deg).
+- A REGISTRATION PHASE FIRST (codes frozen, 3/4 of the steps), then joint
+  fine-tuning, converges best: free codes absorb pose error otherwise.
+- STOCHASTIC 2048-ray steps beat full-image steps (2.55 deg residual with
+  full rays vs ~0 deg with minibatches) — minibatch noise escapes the
+  shallow side minima of the pose landscape.
+
+Usage: python examples/pose_opt_demo.py [--steps 2500] [--out DIR]
 """
 
 import argparse
@@ -19,8 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--opt_steps", type=int, default=150)
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--opt_steps", type=int, default=400)
     ap.add_argument("--out", type=str, default="/tmp/codenerf_pose_demo")
     args = ap.parse_args()
 
@@ -63,8 +76,8 @@ def main() -> None:
         t["params"], hp, image, bad_pose, float(scene["focals"][obj]),
         t["shape_codes"][obj], t["texture_codes"][obj],
         key=jax.random.PRNGKey(0), num_opts=args.opt_steps,
-        lr_pose=5e-3, lr_codes=1e-3, lr_half_interval=args.opt_steps // 3,
-        rays_per_step=2048, pose_only_steps=args.opt_steps // 2,
+        lr_pose=1e-2, lr_codes=1e-3, lr_half_interval=args.opt_steps // 4,
+        rays_per_step=2048, pose_only_steps=3 * args.opt_steps // 4,
     )
     err_before = float(jnp.abs(bad_pose - gt_pose).mean())
     err_after = float(jnp.abs(result.c2w - gt_pose).mean())
