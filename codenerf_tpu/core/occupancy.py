@@ -186,15 +186,25 @@ def build_occupancy_grid(
                              dilate=dilate, mask_radius=mask_radius)
 
 
+def _cell_index(
+    grid: OccupancyGrid, pts: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World points (..., 3) -> per-axis cell indices (..., 3) i32 (clipped
+    to the grid) plus an inside-the-box mask (...,) bool. Axis order matches
+    ``grid_cell_centers`` (world component k -> grid axis k)."""
+    G = grid.occ.shape[0]
+    radius = grid.radius
+    u = (pts + radius) / (2.0 * radius) * G
+    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, G - 1)
+    inside = jnp.all((pts >= -radius) & (pts <= radius), axis=-1)
+    return idx, inside
+
+
 def occupancy_at(grid: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
     """Occupancy lookup at world points ``pts`` (..., 3). Points outside
     the box are unoccupied. Returns bool (...,)."""
     G = grid.occ.shape[0]
-    radius = grid.radius
-    # world -> cell index per axis, same (z, y, x) order as the centers
-    u = (pts + radius) / (2.0 * radius) * G
-    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, G - 1)
-    inside = jnp.all((pts >= -radius) & (pts <= radius), axis=-1)
+    idx, inside = _cell_index(grid, pts)
     flat = (idx[..., 0] * G + idx[..., 1]) * G + idx[..., 2]
     vals = jnp.take(grid.occ.reshape(-1), flat.reshape(-1))
     return vals.reshape(flat.shape) & inside
@@ -227,10 +237,7 @@ def ray_grid_bounds(
     # multiply-reduce, all vectorized: 3.8 ms for the same result, and the
     # probe count is the knob for the rest (RenderConfig.occ_probes).
     G = grid.occ.shape[0]
-    radius = grid.radius
-    u = (pts + radius) / (2.0 * radius) * G
-    idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, G - 1)    # (R, M, 3)
-    inside = jnp.all((pts >= -radius) & (pts <= radius), axis=-1)
+    idx, inside = _cell_index(grid, pts)                        # (R, M, 3)
     rows = idx[..., 0] * G + idx[..., 1]                        # (R, M)
     colv = jnp.take(grid.occ.reshape(G * G, G).astype(jnp.bfloat16),
                     rows.reshape(-1), axis=0)                   # (R*M, G)

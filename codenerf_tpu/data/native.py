@@ -59,38 +59,53 @@ def load_library() -> Optional[ctypes.CDLL]:
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            return _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a stale prebuilt .so predating a newer entry
+            # point (mtime check defeated by e.g. a restored build cache).
+            # Rebuild once from the current source before giving up.
+            if _build():
+                try:
+                    return _bind(ctypes.CDLL(_LIB_PATH))
+                except (OSError, AttributeError):
+                    pass
             _load_failed = True
             return None
 
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        lib.cn_sample_batch.restype = ctypes.c_int
-        lib.cn_sample_batch.argtypes = [
-            u8p, f32p, f32p,
-            _i64, _i64, _i64, _i64, _i64, _u64, _u64,
-            _i64, _i64, _i64, _i64,
-            i32p, f32p, f32p, f32p, f32p, ctypes.c_int,
-        ]
-        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-        u8wp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        lib.cn_sample_batch_compact.restype = ctypes.c_int
-        lib.cn_sample_batch_compact.argtypes = [
-            u8p,
-            _i64, _i64, _i64, _i64, _i64, _u64, _u64,
-            _i64, _i64, _i64, _i64,
-            i32p, i32p, i16p, u8wp, ctypes.c_int,
-        ]
-        lib.cn_rays_of_view.restype = ctypes.c_int
-        lib.cn_rays_of_view.argtypes = [
-            u8p, f32p, f32p,
-            _i64, _i64, _i64, _i64, _i64, _i64,
-            _i64, _i64, _i64, _i64,
-            i32p, f32p, f32p, f32p, f32p,
-        ]
-        _lib = lib
-        return _lib
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    """Declare signatures for every entry point (raises AttributeError if
+    the library is missing one) and publish the handle."""
+    global _lib
+
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.cn_sample_batch.restype = ctypes.c_int
+    lib.cn_sample_batch.argtypes = [
+        u8p, f32p, f32p,
+        _i64, _i64, _i64, _i64, _i64, _u64, _u64,
+        _i64, _i64, _i64, _i64,
+        i32p, f32p, f32p, f32p, f32p, ctypes.c_int,
+    ]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    u8wp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.cn_sample_batch_compact.restype = ctypes.c_int
+    lib.cn_sample_batch_compact.argtypes = [
+        u8p,
+        _i64, _i64, _i64, _i64, _i64, _u64, _u64,
+        _i64, _i64, _i64, _i64,
+        i32p, i32p, i16p, u8wp, ctypes.c_int,
+    ]
+    lib.cn_rays_of_view.restype = ctypes.c_int
+    lib.cn_rays_of_view.argtypes = [
+        u8p, f32p, f32p,
+        _i64, _i64, _i64, _i64, _i64, _i64,
+        _i64, _i64, _i64, _i64,
+        i32p, f32p, f32p, f32p, f32p,
+    ]
+    _lib = lib
+    return _lib
 
 
 def native_available() -> bool:

@@ -132,15 +132,20 @@ class RenderServer:
             from codenerf_tpu.config import resolve_dtype
             from codenerf_tpu.core.occupancy import build_occupancy_grid
 
-            def build(sc, tc):
+            # params is an ARGUMENT, not a closed-over constant: a jit
+            # closure over device arrays re-stages them on every call
+            # (measured elsewhere in this repo: 103 ms for a 39 ms kernel
+            # on the tunneled runtime).
+            def build(params, sc, tc):
                 return build_occupancy_grid(
-                    self.trainables["params"], self.hp.net, sc, tc,
+                    params, self.hp.net, sc, tc,
                     G=self._occ_grid_size, radius=float(self._occ_radius),
                     compute_dtype=resolve_dtype(self.hp.compute_dtype),
                 )
 
             self._occ_build_fn = jax.jit(build)
-        grid = self._occ_build_fn(shape_code, texture_code)
+        grid = self._occ_build_fn(self.trainables["params"], shape_code,
+                                  texture_code)
         if obj < 0:
             # Bound the custom-code cache (object grids are bounded by the
             # table size already).
