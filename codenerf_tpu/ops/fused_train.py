@@ -375,7 +375,7 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
 
 
 def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
-                  *refs):
+                  want_weights: bool, *refs):
     """SINGLE-PASS training kernel: forward + volume rendering + per-ray
     MSE cotangent + full backward in one grid step per ray tile.
 
@@ -394,9 +394,12 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
            gt8 (T,8) [gt rgb in lanes 0..2],
            peA, m_id, m_sin, m_cos, (w_i, b_i)*
       out: se8 (T,8) per-ray squared-error rows (lanes 0..2; summed by XLA),
-           d_sproj, d_tproj, d_vcontrib, (dw_i, db_i)* accumulators.
+           d_sproj, d_tproj, d_vcontrib,
+           [weights (T,S) — only when ``want_weights``; the compositing
+           weights plane that drives hierarchical importance sampling],
+           (dw_i, db_i)* accumulators.
     No input (ro/vd/z) cotangents: training never differentiates through
-    rays or depths.
+    rays or depths (hierarchical z is behind stop_gradient upstream).
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -414,7 +417,11 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     w_refs = refs[11:11 + 2 * k]
     (se_ref, d_sproj_ref, d_tproj_ref, d_vcontrib_ref) = \
         refs[11 + 2 * k:15 + 2 * k]
-    dwb_refs = refs[15 + 2 * k:15 + 4 * k]
+    n_head = 15 + 2 * k
+    if want_weights:
+        weights_ref = refs[n_head]
+        n_head += 1
+    dwb_refs = refs[n_head:n_head + 2 * k]
 
     i = pl.program_id(0)
 
@@ -450,6 +457,8 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     # 16 rows to the MXU's 128, cost only ~4 ms over the fat-tile kernel.
     out8, aux = fused_mlp.composite_fwd_in_kernel(
         sigma, c0, c1, c2, z, white_bg)
+    if want_weights:
+        weights_ref[...] = aux[4]        # w = alpha * T, (T, S) f32
     gt8 = gt_ref[...]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
     diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
@@ -472,12 +481,17 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
 
 def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
                        scale: float, ro8, vd8, z, sproj, tproj, vcontrib,
-                       gt8, wflat):
+                       gt8, wflat, want_weights: bool = False):
     """Run the single-pass training kernel. Returns
     ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [dw_i/db_i f32...])``
     where se_sum is Σ over rays of Σ_rgb (rgb−gt)² and the weight
     gradients match the operand order of :func:`flatten_params_f32`
-    (already scaled by the in-kernel ``2·scale`` cotangent)."""
+    (already scaled by the in-kernel ``2·scale`` cotangent).
+
+    ``want_weights=True`` inserts the (R, S) f32 compositing-weights plane
+    between ``d_vcontrib`` and the weight gradients — the coarse pass of
+    fused hierarchical training reads it (behind stop_gradient) to drive
+    ``sample_pdf``, so the coarse forward never runs twice."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -521,6 +535,9 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
     ]
+    if want_weights:
+        out_shape.append(jax.ShapeDtypeStruct((R, S), f32))         # weights
+        out_specs.append(tile_spec((T, S), lambda i: (i, 0)))
     for name, wshape, bshape in names:
         out_shape += [jax.ShapeDtypeStruct(wshape, f32),
                       jax.ShapeDtypeStruct(bshape, f32)]
@@ -531,7 +548,8 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
         64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
     )
     outs = pl.pallas_call(
-        functools.partial(_train_kernel, cfg, S, white_bg, scale),
+        functools.partial(_train_kernel, cfg, S, white_bg, scale,
+                          want_weights),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,

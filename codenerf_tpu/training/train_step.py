@@ -197,17 +197,25 @@ def build_train_step(
                     f"rays/step(/device)={step_rays}, samples={s})"
                 )
 
-        # Coarse-only training uses the SINGLE-PASS loss kernel (forward +
-        # volume rendering + per-ray MSE cotangent + backward in one grid
-        # step: activations never leave VMEM, no forward recompute — 3x
-        # forward FLOPs total vs the two-kernel op's 4x; see
-        # ops/fused_train._train_kernel). Hierarchical sampling needs the
-        # weights plane, so it keeps the plane-output op under plain
-        # autodiff. input_grads=False everywhere: a training step never
+        # Training uses the SINGLE-PASS loss kernel (forward + volume
+        # rendering + per-ray MSE cotangent + backward in one grid step:
+        # activations never leave VMEM, no forward recompute — 3x forward
+        # FLOPs total vs the two-kernel op's 4x; see
+        # ops/fused_train._train_kernel). Hierarchical sampling runs TWO
+        # single-pass calls — the coarse one also emits the compositing
+        # weights plane that drives sample_pdf (want_weights=True), the
+        # fine one runs at n_samples + n_importance on the union-sorted z
+        # — with the cotangents summed into one prologue VJP (6F total vs
+        # the plane-op autodiff path's 8F plus relayouts).
+        # input_grads=False everywhere: a training step never
         # differentiates through rays or depths (rays come from batch
         # poses, z from the sampler RNG; hierarchical z is behind
-        # stop_gradient).
-        fuse_composite = hp.fused_composite and rcfg.n_importance == 0
+        # stop_gradient). Separate fine weights
+        # (share_fine_weights=False) fall back to the plane op under
+        # autodiff — the fused path feeds ONE weight operand list to
+        # both passes.
+        fuse_composite = hp.fused_composite and (
+            rcfg.n_importance == 0 or rcfg.share_fine_weights)
         if not fuse_composite:
             _op = ft.make_fused_train_op(net_cfg, input_grads=False)
             if mesh is not None:
@@ -275,14 +283,20 @@ def build_train_step(
         }
         return loss, metrics
 
-    use_fused_loss = (hp.use_fused_train and hp.fused_composite
-                      and rcfg.n_importance == 0)
+    use_fused_loss = hp.use_fused_train and hp.fused_composite and (
+        rcfg.n_importance == 0 or rcfg.share_fine_weights)
     if use_fused_loss:
         from codenerf_tpu.ops import fused_mlp
         from codenerf_tpu.ops import fused_train as ft
         from codenerf_tpu.renderer import coarse_zvals
 
         reg_coef = hp.loss_reg_coef / hp.quirks.reg_chunk_divisor
+        hier = rcfg.n_importance > 0
+        if hier:
+            from codenerf_tpu.core.sampling import (
+                sample_pdf,
+                union_sorted_zvals,
+            )
 
         def grad_fn(trainables, batch: Batch, key: jax.Array, occ_grid=None):
             """Single-pass fused loss+gradients: the kernel returns the
@@ -291,11 +305,19 @@ def build_train_step(
             prologue (code gather, latent projections, weight
             flattening/padding, reg term) chains them into the exact
             trainables gradient — bitwise the same chaining autodiff
-            would emit, without a second forward."""
+            would emit, without a second forward.
+
+            Hierarchical (n_importance > 0): the coarse kernel call also
+            emits the compositing weights plane; sample_pdf + union-sort
+            run in XLA (non-differentiated — the z chain is cut by
+            design), then a second single-pass call at the union sample
+            count computes the fine loss. The prologue is z-independent,
+            so both calls share ONE prologue/VJP with summed cotangents —
+            exactly the gradient of `fine_mse + coarse_mse + reg`."""
             ray_o, viewdir = pixel_rays(batch["uv"], batch["focal"],
                                         batch["c2w"], H, W)
-            z2d, _ = coarse_zvals(rcfg, ray_o, viewdir, key,
-                                  occ_grid=occ_grid)
+            z2d, key_fine = coarse_zvals(rcfg, ray_o, viewdir, key,
+                                         occ_grid=occ_grid)
             R_total = batch["rgb"].shape[0]
             scale = 1.0 / (R_total * 3.0)
             f32 = jnp.float32
@@ -316,51 +338,84 @@ def build_train_step(
             (sproj, tproj, vcontrib, wflat, reg), pro_vjp = jax.vjp(
                 prologue, trainables)
 
-            def kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
-                            *wflat):
-                outs = ft.invoke_train_fused(
-                    net_cfg, z2d.shape[1], z2d.shape[0], rcfg.white_bg,
-                    scale, ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
-                    list(wflat))
+            def make_kernel_call(want_weights):
+                n_ray_outs = 5 if want_weights else 4
+
+                def kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
+                                *wflat):
+                    outs = ft.invoke_train_fused(
+                        net_cfg, z2d.shape[1], z2d.shape[0], rcfg.white_bg,
+                        scale, ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
+                        list(wflat), want_weights=want_weights)
+                    if mesh is not None:
+                        axes = tuple(ax for ax in ("replica", "data")
+                                     if ax in mesh.axis_names)
+                        se = jax.lax.psum(outs[0], axes)
+                        dwb = [jax.lax.psum(x, axes)
+                               for x in outs[n_ray_outs:]]
+                        return ((se,) + tuple(outs[1:n_ray_outs])
+                                + tuple(dwb))
+                    return tuple(outs)
+
                 if mesh is not None:
-                    axes = tuple(ax for ax in ("replica", "data")
-                                 if ax in mesh.axis_names)
-                    se = jax.lax.psum(outs[0], axes)
-                    dwb = [jax.lax.psum(x, axes) for x in outs[4:]]
-                    return (se,) + tuple(outs[1:4]) + tuple(dwb)
-                return tuple(outs)
+                    from jax.sharding import PartitionSpec as P
 
-            if mesh is not None:
-                from jax.sharding import PartitionSpec as P
+                    from jax import shard_map as _shard_map
 
-                from jax import shard_map as _shard_map
+                    batch_axes = tuple(ax for ax in ("replica", "data")
+                                       if ax in mesh.axis_names)
+                    n_w = len(wflat)
+                    kw = dict(
+                        mesh=mesh,
+                        in_specs=(P(batch_axes),) * 7 + (P(),) * n_w,
+                        out_specs=(P(),)
+                        + (P(batch_axes),) * (n_ray_outs - 1)
+                        + (P(),) * n_w,
+                    )
+                    try:
+                        kernel_call = _shard_map(kernel_call,
+                                                 check_vma=False, **kw)
+                    except TypeError:
+                        kernel_call = _shard_map(kernel_call,
+                                                 check_rep=False, **kw)
+                return kernel_call
 
-                batch_axes = tuple(ax for ax in ("replica", "data")
-                                   if ax in mesh.axis_names)
-                n_w = len(wflat)
-                kw = dict(
-                    mesh=mesh,
-                    in_specs=(P(batch_axes),) * 3
-                    + (P(batch_axes),) * 3 + (P(batch_axes),)
-                    + (P(),) * n_w,
-                    out_specs=(P(),) + (P(batch_axes),) * 3 + (P(),) * n_w,
-                )
-                try:
-                    kernel_call = _shard_map(kernel_call, check_vma=False,
-                                             **kw)
-                except TypeError:
-                    kernel_call = _shard_map(kernel_call, check_rep=False,
-                                             **kw)
-
-            outs = kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
-                               *wflat)
-            se, d_sproj, d_tproj, d_vcontrib = outs[:4]
-            dwb = list(outs[4:])
+            outs = make_kernel_call(hier)(ro8, vd8, z2d, sproj, tproj,
+                                          vcontrib, gt8, *wflat)
+            if not hier:
+                se, d_sproj, d_tproj, d_vcontrib = outs[:4]
+                dwb = list(outs[4:])
+                mse = se * scale
+                coarse_mse = None
+            else:
+                se_c, d_sproj, d_tproj, d_vcontrib, w_coarse = outs[:5]
+                dwb = list(outs[5:])
+                # Standard NeRF importance sampling: interior coarse
+                # weights drive a piecewise-constant pdf over mid-bins
+                # (renderer.render_rays does the same in XLA).
+                z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
+                w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
+                z_fine = sample_pdf(key_fine, z_mid, w_int,
+                                    rcfg.n_importance, deterministic=False)
+                z_all = union_sorted_zvals(z2d, z_fine)
+                outs_f = make_kernel_call(False)(
+                    ro8, vd8, z_all, sproj, tproj, vcontrib, gt8, *wflat)
+                se_f = outs_f[0]
+                add_ct = lambda a, b: (a.astype(f32)
+                                       + b.astype(f32)).astype(a.dtype)
+                d_sproj = add_ct(d_sproj, outs_f[1])
+                d_tproj = add_ct(d_tproj, outs_f[2])
+                d_vcontrib = add_ct(d_vcontrib, outs_f[3])
+                dwb = [a + b for a, b in zip(dwb, outs_f[4:])]
+                mse = se_f * scale
+                coarse_mse = se_c * scale
             (grads,) = pro_vjp((d_sproj, d_tproj, d_vcontrib, dwb,
                                 jnp.asarray(reg_coef, f32)))
-            mse = se * scale
+            loss = mse + reg_coef * reg
+            if coarse_mse is not None:
+                loss = loss + coarse_mse
             metrics = {
-                "loss": mse + reg_coef * reg,
+                "loss": loss,
                 "mse": mse,
                 "psnr": -10.0 * jnp.log(mse) / jnp.log(10.0),
                 "reg": reg,

@@ -642,14 +642,17 @@ def test_fused_train_step_production_sample_count():
     np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
 
 
-def test_fused_hierarchical_training_step():
-    """n_importance > 0 with use_fused_train: the step must route through
-    the plane op (weights plane needed for the inverse CDF), evaluate both
-    coarse and coarse+fine sample counts through the kernels, and track
-    the XLA hierarchical step."""
+@pytest.mark.parametrize("composite", [False, True])
+def test_fused_hierarchical_training_step(composite):
+    """n_importance > 0 with use_fused_train, both kernel routes: the
+    plane op under autodiff (fused_composite=False), and the fused
+    two-call single-pass path (coarse kernel emits the weights plane for
+    the inverse CDF, fine kernel runs the union sample count, cotangents
+    sum into one prologue VJP). Both must track the XLA hierarchical
+    step's loss trajectory."""
     import dataclasses
 
-    hp_f = _fused_hparams(n_samples=8)
+    hp_f = _fused_hparams(n_samples=8, fused_composite=composite)
     hp_f = dataclasses.replace(
         hp_f, render=dataclasses.replace(hp_f.render, n_importance=8))
     hp_x = dataclasses.replace(hp_f, use_fused_train=False)
@@ -665,3 +668,98 @@ def test_fused_hierarchical_training_step():
         losses_x.append(float(m_x["loss"]))
     np.testing.assert_allclose(losses_f, losses_x, rtol=0.02)
     assert losses_f[-1] < losses_f[0]
+
+
+def test_train_kernel_weights_plane_matches_composite():
+    """want_weights=True on the single-pass kernel: the emitted (R, S)
+    weights plane must match XLA compositing of the same bf16 forward
+    (the plane op + core.render.composite), and must not perturb any of
+    the existing outputs vs want_weights=False."""
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.ops import fused_mlp
+    from codenerf_tpu.ops import fused_train as ft
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 16
+    ro, vd, z, sc, tc, _, _ = _setup(cfg, R, S)
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (R, 3), jnp.float32)
+    ro8, vd8, z_f, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+        params, cfg, ro, vd, z, sc, tc)
+    gt8 = fused_mlp._pad_lanes(gt, 8)
+    wflat = ft.flatten_params_f32(params, cfg)
+    scale = 1.0 / (R * 3)
+
+    outs_w = ft.invoke_train_fused(cfg, S, R, True, scale, ro8, vd8, z_f,
+                                   sproj, tproj, vcontrib, gt8, wflat,
+                                   want_weights=True)
+    outs_0 = ft.invoke_train_fused(cfg, S, R, True, scale, ro8, vd8, z_f,
+                                   sproj, tproj, vcontrib, gt8, wflat,
+                                   want_weights=False)
+    w_kernel = outs_w[4]
+    assert w_kernel.shape == (R, S)
+
+    sig, rgbs = fused_apply_train(params, cfg, ro, vd, z, sc, tc)
+    res = composite(sig, rgbs, z, white_bg=True)
+    np.testing.assert_allclose(np.asarray(w_kernel),
+                               np.asarray(res.weights),
+                               rtol=1e-4, atol=1e-6)
+
+    for a, b in zip(list(outs_w[:4]) + list(outs_w[5:]), list(outs_0)):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_fused_hierarchical_with_mesh_matches_single_device():
+    """The fused two-call hierarchical step under a data-parallel mesh:
+    both kernel calls shard over rays, sample_pdf/union-sort partition
+    per-ray in XLA between them, and the summed cotangents' dW psums span
+    the batch axes. Must match the single-device fused hierarchical step."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from codenerf_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        state_shardings,
+    )
+    from codenerf_tpu.training.state import create_train_state
+    from codenerf_tpu.training.train_step import (
+        build_optimizer,
+        build_train_step,
+    )
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.data.pipeline import RayBatchPipeline
+
+    hp = _fused_hparams(n_samples=8)
+    hp = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, n_importance=8))
+    scene = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=2)
+    pipe = RayBatchPipeline(scene["images"], scene["poses"], scene["focals"])
+    tx = build_optimizer(hp)
+    batch = {k: jnp.asarray(v) for k, v in pipe.sample(256).items()}
+
+    state1 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    s1, m1 = jax.jit(build_train_step(hp, pipe.H, pipe.W, tx,
+                                      batch_size=256))(state1, batch)
+
+    mesh = make_mesh(model=1)  # 8-way DP: 32 rays/device = two ray tiles
+    state2 = create_train_state(jax.random.PRNGKey(0), hp, pipe.n_objects, tx)
+    st_sh = state_shardings(mesh, state2)
+    b_sh = batch_sharding(mesh)
+    step2 = jax.jit(
+        build_train_step(hp, pipe.H, pipe.W, tx, batch_size=256, mesh=mesh),
+        in_shardings=(st_sh, {k: b_sh for k in batch}),
+        out_shardings=(st_sh, None),
+    )
+    state2 = jax.device_put(state2, st_sh)
+    s2, m2 = step2(state2, jax.device_put(batch, {k: b_sh for k in batch}))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.trainables),
+                    jax.tree_util.tree_leaves(s2.trainables)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-3, atol=1e-5)
