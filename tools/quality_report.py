@@ -193,7 +193,9 @@ def main() -> None:
         with open(os.path.join(args.out, "SUMMARY.md"), "w") as f:
             f.write(
                 "# Multi-seed quality summary\n\n"
-                f"- config: {args.samples} samples, "
+                f"- config: {args.samples} samples"
+                + (f" + {args.n_importance} importance"
+                   if args.n_importance else "") + ", "
                 f"use_fused={args.use_fused}, "
                 f"bound_radius={args.bound_radius}, occ={args.occ}, "
                 f"{args.n_train_objects} train / {args.n_test_objects} "
