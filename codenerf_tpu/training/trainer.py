@@ -199,6 +199,36 @@ class Trainer:
 
         self._occ_update_fn = jax.jit(upd, static_argnames="decay")
 
+        n = self.n_objects
+
+        def rebuild(trainables):
+            # Full-category max-union in ONE dispatch: a lax.scan over the
+            # same fixed-size wrap-modulo chunks the incremental update
+            # uses, with chunk indices computed on device. decay=1.0 makes
+            # the union order-independent, so this is bitwise the same
+            # grid the per-chunk python loop produced.
+            def body(density, start):
+                idx = (start + jnp.arange(k, dtype=jnp.int32)) % n
+                d = occ_mod.update_density_grid(
+                    density, trainables["params"], self.hp.net,
+                    trainables["shape_codes"][idx],
+                    trainables["texture_codes"][idx],
+                    self._occ_radius, decay=1.0, compute_dtype=cd,
+                )
+                return d, None
+
+            starts = jnp.arange(rounds, dtype=jnp.int32) * k
+            density, _ = jax.lax.scan(
+                body, jnp.zeros((oc.grid_size,) * 3, jnp.float32), starts)
+            grid = occ_mod.grid_from_density(
+                density, self._occ_radius,
+                sigma_threshold=oc.sigma_threshold,
+                dilate=oc.dilate, mask_radius=self._occ_radius,
+            )
+            return density, grid
+
+        self._occ_rebuild_fn = jax.jit(rebuild)
+
     def _update_occupancy(self) -> None:
         oc = self.hp.train_occupancy
         k = min(oc.codes_per_update, self.n_objects)
@@ -214,17 +244,14 @@ class Trainer:
         on post-warmup resume: a single incremental update there would see
         only ``codes_per_update`` objects and mark every other object's
         cells empty, collapsing their rays to the degenerate near-bound
-        span until round-robin coverage completed."""
-        oc = self.hp.train_occupancy
-        k = min(oc.codes_per_update, self.n_objects)
-        self._density = jnp.zeros_like(self._density)
-        for start in range(0, self.n_objects, k):
-            # Fixed chunk size (wrap modulo) so every call hits the same
-            # compiled executable.
-            idx = (np.arange(k) + start) % self.n_objects
-            self._density, self._occ = self._occ_update_fn(
-                self._density, self.state.trainables, jnp.asarray(idx), 1.0
-            )
+        span until round-robin coverage completed.
+
+        One dispatch (jitted scan over code chunks): the earlier per-chunk
+        python loop paid ceil(n/k) tunnel round-trips + per-chunk H2D of
+        the indices — measured ~540 s of a 788 s training run at 2458
+        objects with codes_per_update=8 on the tunneled v5e."""
+        self._density, self._occ = self._occ_rebuild_fn(
+            self.state.trainables)
         self._occ_cursor = 0
         self._occ_seeded = True
 

@@ -74,7 +74,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
         check_points=0,
         seed=seed,
         use_fused_train=args.use_fused,
-        train_occupancy=TrainOccupancyConfig() if args.occ else None,
+        train_occupancy=TrainOccupancyConfig(
+            codes_per_update=args.codes_per_update) if args.occ else None,
     )
     t0 = time.time()
     trainer = Trainer(f"quality_s{seed}", hp, batch_size=8192,
@@ -174,6 +175,10 @@ def main() -> None:
     ap.add_argument("--occ", action="store_true",
                     help="training-time occupancy-grid sampling "
                          "(requires --bound_radius)")
+    ap.add_argument("--codes_per_update", type=int, default=8,
+                    help="objects refreshed per occupancy update; scale "
+                         "up for large categories (the config warns when "
+                         "decay^(n/k) would erase unrefreshed cells)")
     args = ap.parse_args()
 
     from codenerf_tpu.utils.cache import enable_compilation_cache
