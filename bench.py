@@ -187,8 +187,13 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     # (150 steps; also warms the Orbax checkpoint writer via the
     # end-of-training save), then both occupancy executables explicitly —
     # the first in-loop refresh only happens at step 500, so without this
-    # their compiles would land INSIDE the timed window (decay=1.0 rebuild
-    # and decay=oc.decay incremental are separate jit specializations).
+    # their compiles would land INSIDE the timed window (the scanned
+    # decay=1.0 rebuild and the incremental update are separate jit
+    # specializations). The timed window is then 1000 steps (150->1150)
+    # containing the two incremental refreshes at steps 500 and 1000 —
+    # the production update_every=500 duty cycle. (A live in-process grid
+    # is not re-rebuilt at the window start: trainer gates the resume
+    # rebuild on _occ_seeded.)
     tr.training(iters_crop=0, iters_all=150, log_every=100_000)
     tr._rebuild_occupancy()
     tr._update_occupancy()

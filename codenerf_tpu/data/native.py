@@ -63,7 +63,16 @@ def load_library() -> Optional[ctypes.CDLL]:
         except (OSError, AttributeError):
             # AttributeError: a stale prebuilt .so predating a newer entry
             # point (mtime check defeated by e.g. a restored build cache).
-            # Rebuild once from the current source before giving up.
+            # Rebuild once from the current source before giving up. The
+            # stale library must be UNLINKED first: the failed CDLL above
+            # keeps its mapping open and g++ rewriting the same inode
+            # would make the retry dlopen dedup to the stale handle
+            # (verified: same _handle, symbol still missing). A fresh
+            # inode gets a fresh mapping.
+            try:
+                os.unlink(_LIB_PATH)
+            except OSError:
+                pass
             if _build():
                 try:
                     return _bind(ctypes.CDLL(_LIB_PATH))

@@ -304,10 +304,14 @@ class Trainer:
                                          compact=self.compact)
 
         occ_cfg = self.hp.train_occupancy
-        if occ_cfg is not None and start >= occ_cfg.warmup:
+        if occ_cfg is not None and start >= occ_cfg.warmup \
+                and not self._occ_seeded:
             # Resume past warmup: the density field is rebuilt from the
             # restored model immediately (it is not checkpointed) — over
-            # ALL objects, not one round-robin window.
+            # ALL objects, not one round-robin window. A live in-process
+            # grid (_occ_seeded) is already current via the periodic
+            # refresh cycle and is NOT rebuilt — repeated training() calls
+            # in one process must not pay a full-category rebuild each.
             self._rebuild_occupancy()
         step = start
         try:
