@@ -375,7 +375,8 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
 
 
 def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
-                  want_weights: bool, *refs):
+                  want_weights: bool, want_rgb: bool, weight_grads: bool,
+                  *refs):
     """SINGLE-PASS training kernel: forward + volume rendering + per-ray
     MSE cotangent + full backward in one grid step per ray tile.
 
@@ -397,7 +398,12 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
            d_sproj, d_tproj, d_vcontrib,
            [weights (T,S) — only when ``want_weights``; the compositing
            weights plane that drives hierarchical importance sampling],
-           (dw_i, db_i)* accumulators.
+           [rgb8 (T,8) — only when ``want_rgb``; the composited
+           [r|g|b|depth|acc|...] rows, for progress renders],
+           [(dw_i, db_i)* accumulators — only when ``weight_grads``;
+           weight_grads=False is the frozen-model (test-time codes)
+           variant: the dW/db chains and accumulator blocks vanish,
+           2F total].
     No input (ro/vd/z) cotangents: training never differentiates through
     rays or depths (hierarchical z is behind stop_gradient upstream).
     """
@@ -421,15 +427,19 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     if want_weights:
         weights_ref = refs[n_head]
         n_head += 1
-    dwb_refs = refs[n_head:n_head + 2 * k]
+    if want_rgb:
+        rgb_ref = refs[n_head]
+        n_head += 1
+    dwb_refs = refs[n_head:n_head + 2 * k] if weight_grads else []
 
     i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _init():
-        for j, (name, wshape, bshape) in enumerate(names):
-            dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
-            dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
+    if weight_grads:
+        @pl.when(i == 0)
+        def _init():
+            for j, (name, wshape, bshape) in enumerate(names):
+                dwb_refs[2 * j][...] = jnp.zeros(wshape, f32)
+                dwb_refs[2 * j + 1][...] = jnp.zeros(bshape, f32)
 
     h = _tile_helpers(cfg, S, T, w_refs, idx_of)
 
@@ -459,6 +469,8 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
         sigma, c0, c1, c2, z, white_bg)
     if want_weights:
         weights_ref[...] = aux[4]        # w = alpha * T, (T, S) f32
+    if want_rgb:
+        rgb_ref[...] = out8
     gt8 = gt_ref[...]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
     diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
@@ -474,24 +486,31 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
             + jnp.where(lane == 2, gc2[:, :, None], 0.0))
 
     _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
-                   dwb_refs, idx_of, True,
+                   dwb_refs, idx_of, weight_grads,
                    d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
                    want_input_chain=False)
 
 
 def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
                        scale: float, ro8, vd8, z, sproj, tproj, vcontrib,
-                       gt8, wflat, want_weights: bool = False):
+                       gt8, wflat, want_weights: bool = False,
+                       want_rgb: bool = False, weight_grads: bool = True):
     """Run the single-pass training kernel. Returns
-    ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [dw_i/db_i f32...])``
-    where se_sum is Σ over rays of Σ_rgb (rgb−gt)² and the weight
-    gradients match the operand order of :func:`flatten_params_f32`
-    (already scaled by the in-kernel ``2·scale`` cotangent).
+    ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [weights], [rgb8],
+    [dw_i/db_i f32...])`` where se_sum is Σ over rays of Σ_rgb (rgb−gt)²
+    and the weight gradients match the operand order of
+    :func:`flatten_params_f32` (already scaled by the in-kernel
+    ``2·scale`` cotangent).
 
     ``want_weights=True`` inserts the (R, S) f32 compositing-weights plane
-    between ``d_vcontrib`` and the weight gradients — the coarse pass of
-    fused hierarchical training reads it (behind stop_gradient) to drive
-    ``sample_pdf``, so the coarse forward never runs twice."""
+    after ``d_vcontrib`` — the coarse pass of fused hierarchical training
+    reads it (behind stop_gradient) to drive ``sample_pdf``, so the
+    coarse forward never runs twice. ``want_rgb=True`` additionally emits
+    the per-ray composited (R, 8) ``[r|g|b|depth|acc|..]`` rows (progress
+    renders ride the optimization for free). ``weight_grads=False`` is
+    the frozen-model variant for test-time CODE optimization (reference
+    ``src/optimizer.py:195-198``): no dW/db chains or outputs — 2F of MLP
+    FLOPs instead of 3F."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -538,18 +557,24 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     if want_weights:
         out_shape.append(jax.ShapeDtypeStruct((R, S), f32))         # weights
         out_specs.append(tile_spec((T, S), lambda i: (i, 0)))
-    for name, wshape, bshape in names:
-        out_shape += [jax.ShapeDtypeStruct(wshape, f32),
-                      jax.ShapeDtypeStruct(bshape, f32)]
-        out_specs += [const_spec(wshape), const_spec(bshape)]
+    if want_rgb:
+        out_shape.append(jax.ShapeDtypeStruct((R, 8), f32))         # rgb8
+        out_specs.append(tile_spec((T, 8), lambda i: (i, 0)))
+    if weight_grads:
+        for name, wshape, bshape in names:
+            out_shape += [jax.ShapeDtypeStruct(wshape, f32),
+                          jax.ShapeDtypeStruct(bshape, f32)]
+            out_specs += [const_spec(wshape), const_spec(bshape)]
 
-    # 3x forward FLOPs (fwd + dx + dW), no recompute.
-    flops_per_tile = 3 * 2 * P * W * (
+    # 3x forward FLOPs (fwd + dx + dW), no recompute; the dW chain — one
+    # of the three W-square matmuls per layer — is absent in codes-only
+    # (weight_grads=False) mode.
+    flops_per_tile = (3 if weight_grads else 2) * 2 * P * W * (
         64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
     )
     outs = pl.pallas_call(
         functools.partial(_train_kernel, cfg, S, white_bg, scale,
-                          want_weights),
+                          want_weights, want_rgb, weight_grads),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,

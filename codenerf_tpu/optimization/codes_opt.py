@@ -193,6 +193,115 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
         return opt_se * scale + hp.loss_reg_coef * reg, (final_se * scale,
                                                          progress)
 
+    # SINGLE-PASS codes backward (late round 3): the frozen-model variant
+    # of the training loss kernel (weight_grads=False — forward +
+    # composite + MSE cotangent + dx chain in one grid step, 2F of MLP
+    # FLOPs vs the fwd+recompute-bwd op pair's 3F). One jax.vjp over the
+    # per-ray code projections chains the kernel cotangents into the
+    # exact codes gradient; progress renders ride the kernel's rgb rows
+    # (want_rgb). Hierarchical runs the same two-call structure as
+    # training (coarse emits the weights plane for sample_pdf). Needs
+    # pad-free chunking (the in-kernel MSE cotangent has no ray mask) —
+    # real SRN views (H*W = 4096k) always chunk exactly.
+    use_single_pass = (
+        fused and hp.fused_composite
+        and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
+        and n_chunks * chunk == n_rays
+    )
+    if use_single_pass:
+        from codenerf_tpu.ops import fused_mlp
+        from codenerf_tpu.ops import fused_train as ft_mod
+        from codenerf_tpu.renderer import coarse_zvals
+
+        hier = rcfg.n_importance > 0
+        if hier:
+            from codenerf_tpu.core.sampling import (
+                sample_pdf,
+                union_sorted_zvals,
+            )
+        scale = 1.0 / (n_rays * 3.0)
+        f32 = jnp.float32
+
+        def sp_value_and_grad(codes, step_key, params, ro_c, vd_c, gt_c):
+            wflat = [jax.lax.stop_gradient(w)
+                     for w in ft_mod.flatten_params_f32(params, net_cfg)]
+            want_prog = bool(progress_rays)
+
+            def chunk_body(carry, xs):
+                fin_se, opt_se, g_acc = carry
+                ro, vd, gt, k = xs
+                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k)
+                ro8 = fused_mlp._pad_lanes(ro.astype(f32), 8)
+                vd8 = fused_mlp._pad_lanes(vd.astype(f32), 8)
+                gt8 = fused_mlp._pad_lanes(gt.astype(f32), 8)
+
+                def prologue(cds):
+                    sc, tc = cds
+                    _, _, _, sproj, tproj, vcontrib = \
+                        fused_mlp.prep_ray_operands(
+                            params, net_cfg, ro, vd, z2d, sc, tc)
+                    return sproj, tproj, vcontrib
+
+                (sproj, tproj, vcontrib), pvjp = jax.vjp(prologue, codes)
+                outs = ft_mod.invoke_train_fused(
+                    net_cfg, z2d.shape[1], chunk, rcfg.white_bg, scale,
+                    ro8, vd8, z2d, sproj, tproj, vcontrib, gt8, wflat,
+                    want_weights=hier, want_rgb=want_prog and not hier,
+                    weight_grads=False)
+                se_c, d_sproj, d_tproj, d_vcontrib = outs[:4]
+                rgb8 = None
+                if hier:
+                    w_coarse = outs[4]
+                    z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
+                    w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
+                    z_fine = sample_pdf(key_fine, z_mid, w_int,
+                                        rcfg.n_importance,
+                                        deterministic=False)
+                    z_all = union_sorted_zvals(z2d, z_fine)
+                    outs_f = ft_mod.invoke_train_fused(
+                        net_cfg, z_all.shape[1], chunk, rcfg.white_bg,
+                        scale, ro8, vd8, z_all, sproj, tproj, vcontrib,
+                        gt8, wflat, want_rgb=want_prog,
+                        weight_grads=False)
+                    se_f = outs_f[0]
+                    add_ct = lambda a, b: (a.astype(f32)
+                                           + b.astype(f32)).astype(a.dtype)
+                    d_sproj = add_ct(d_sproj, outs_f[1])
+                    d_tproj = add_ct(d_tproj, outs_f[2])
+                    d_vcontrib = add_ct(d_vcontrib, outs_f[3])
+                    if want_prog:
+                        rgb8 = outs_f[4]
+                    fin, opt = se_f, se_f + se_c
+                else:
+                    if want_prog:
+                        rgb8 = outs[4]
+                    fin, opt = se_c, se_c
+                (g_codes,) = pvjp((d_sproj, d_tproj, d_vcontrib))
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, g_acc, g_codes)
+                out = (rgb8[:, :3] if want_prog
+                       else jnp.zeros((0, 3), f32))
+                return (fin_se + fin, opt_se + opt, g_acc), out
+
+            keys = jax.random.split(step_key, n_chunks)
+            zerog = jax.tree_util.tree_map(jnp.zeros_like, codes)
+            (fin_se, opt_se, g_codes), rgb_chunks = jax.lax.scan(
+                chunk_body,
+                (jnp.zeros((), f32), jnp.zeros((), f32), zerog),
+                (ro_c, vd_c, gt_c, keys))
+
+            def reg_fn(cds):
+                sc, tc = cds
+                return jnp.linalg.norm(sc) + jnp.linalg.norm(tc)
+
+            reg, g_reg = jax.value_and_grad(reg_fn)(codes)
+            loss = opt_se * scale + hp.loss_reg_coef * reg
+            grads = jax.tree_util.tree_map(
+                lambda a, b: a + hp.loss_reg_coef * b, g_codes, g_reg)
+            progress = (rgb_chunks.reshape(-1, 3)[:progress_rays]
+                        if progress_rays else jnp.zeros((0, 3), f32))
+            return (loss, (fin_se * scale, progress)), grads
+
     @jax.jit
     def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key):
         opt_state0 = tx.init(codes0)
@@ -207,11 +316,15 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                     step_idx % lr_half_interval == 0,
                     reset_adam_state, lambda s: s, opt_state,
                 )
-            (_, (mse, progress)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(
-                codes, step_key, params, fine_params, ro_c, vd_c, gt_c,
-                mask_c,
-            )
+            if use_single_pass:
+                (_, (mse, progress)), grads = sp_value_and_grad(
+                    codes, step_key, params, ro_c, vd_c, gt_c)
+            else:
+                (_, (mse, progress)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    codes, step_key, params, fine_params, ro_c, vd_c,
+                    gt_c, mask_c,
+                )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
             return (codes, opt_state), (psnr_fn(mse), progress)

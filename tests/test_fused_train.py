@@ -414,14 +414,18 @@ def test_fused_codes_op_grads():
         assert rel_fused <= rel_xla * 1.5 + 1e-3, (name, rel_fused, rel_xla)
 
 
-def test_optimize_codes_fused_matches_xla(monkeypatch):
-    """optimize_codes with the codes-only fused kernels: the op must
-    actually be traced into the program (program-identity guard) and the
-    optimization trajectory must match the XLA path."""
+@pytest.mark.parametrize("composite", [False, True])
+def test_optimize_codes_fused_matches_xla(monkeypatch, composite):
+    """optimize_codes with the codes-only fused kernels, both routes —
+    the plane op + pallas composite (fused_composite=False) and the
+    SINGLE-PASS frozen-model kernel (weight_grads=False, late r3). The
+    selected route must actually be traced into the program
+    (program-identity guard) and the optimization trajectory must match
+    the XLA path."""
     from codenerf_tpu.optimization import codes_opt
     from codenerf_tpu.ops import fused_train as ft
 
-    hp = _fused_hparams(n_samples=8)
+    hp = _fused_hparams(n_samples=8, fused_composite=composite)
     params = init_codenerf(jax.random.PRNGKey(1), hp.net)
     R = 64
     ks = jax.random.split(jax.random.PRNGKey(7), 4)
@@ -432,20 +436,30 @@ def test_optimize_codes_fused_matches_xla(monkeypatch):
     init_s = jax.random.normal(ks[3], (hp.net.latent_dim,)) * 0.05
     init_t = jnp.zeros((hp.net.latent_dim,))
 
-    calls = {"codes_op": 0}
-    orig = ft.make_fused_codes_composite_op
+    calls = {"codes_op": 0, "single": 0}
+    orig_plane = ft.make_fused_codes_op
+    orig_single = ft.invoke_train_fused
 
-    def spy(*a, **kw):
+    def spy_plane(*a, **kw):
         calls["codes_op"] += 1
-        return orig(*a, **kw)
+        return orig_plane(*a, **kw)
 
-    monkeypatch.setattr(ft, "make_fused_codes_composite_op", spy)
+    def spy_single(*a, **kw):
+        calls["single"] += 1
+        return orig_single(*a, **kw)
+
+    monkeypatch.setattr(ft, "make_fused_codes_op", spy_plane)
+    monkeypatch.setattr(ft, "invoke_train_fused", spy_single)
 
     kwargs = dict(num_opts=3, lr=1e-2, lr_half_interval=2, chunk=64)
     res_f = codes_opt.optimize_codes(
         params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
         use_fused=True, **kwargs)
-    assert calls["codes_op"] == 1
+    if composite:
+        assert calls["single"] >= 1, "single-pass codes kernel never traced"
+    else:
+        assert calls["codes_op"] == 1, "plane codes op never built"
+        assert calls["single"] == 0
     res_x = codes_opt.optimize_codes(
         params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
         use_fused=False, **kwargs)
@@ -453,6 +467,45 @@ def test_optimize_codes_fused_matches_xla(monkeypatch):
                                np.asarray(res_x.psnr_history), atol=0.3)
     np.testing.assert_allclose(np.asarray(res_f.shape_code),
                                np.asarray(res_x.shape_code), atol=3e-2)
+
+
+def test_optimize_codes_single_pass_hierarchical_and_progress():
+    """Single-pass codes optimization under hierarchical sampling (two
+    frozen-model kernel calls; coarse emits the weights plane) with
+    per-step progress renders riding the kernel's rgb rows: trajectory,
+    final codes and progress images must all match the XLA path."""
+    import dataclasses
+
+    from codenerf_tpu.optimization import codes_opt
+
+    hp = _fused_hparams(n_samples=8)
+    hp = dataclasses.replace(
+        hp, render=dataclasses.replace(hp.render, n_importance=8))
+    params = init_codenerf(jax.random.PRNGKey(1), hp.net)
+    R = 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    ro = jax.random.uniform(ks[0], (R, 3), jnp.float32, -0.2, 0.2)
+    vd = jax.random.normal(ks[1], (R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    gt = jax.random.uniform(ks[2], (R, 3))
+    init_s = jax.random.normal(ks[3], (hp.net.latent_dim,)) * 0.05
+    init_t = jnp.zeros((hp.net.latent_dim,))
+
+    kwargs = dict(num_opts=3, lr=1e-2, lr_half_interval=2, chunk=64,
+                  progress_rays=16)
+    res_f = codes_opt.optimize_codes(
+        params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
+        use_fused=True, **kwargs)
+    res_x = codes_opt.optimize_codes(
+        params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
+        use_fused=False, **kwargs)
+    np.testing.assert_allclose(np.asarray(res_f.psnr_history),
+                               np.asarray(res_x.psnr_history), atol=0.3)
+    np.testing.assert_allclose(np.asarray(res_f.shape_code),
+                               np.asarray(res_x.shape_code), atol=3e-2)
+    assert res_f.progress.shape == (3, 16, 3)
+    np.testing.assert_allclose(np.asarray(res_f.progress),
+                               np.asarray(res_x.progress), atol=2e-2)
 
 
 def test_optimize_codes_fused_fallback_and_explicit_raise():
