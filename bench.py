@@ -327,10 +327,26 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
 
 
 def main() -> None:
+    import os
+    import sys
+
     from codenerf_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    r = _bench()
+    try:
+        r = _bench()
+    except Exception as e:  # noqa: BLE001 — transient-backend guard
+        # The tunneled runtime occasionally throws transient errors
+        # ("TPU backend error (Internal)", remote_compile HTTP 500) that
+        # poison the in-process backend client. Retry ONCE in a fresh
+        # process (exec keeps stdout, so the driver still sees exactly
+        # one JSON line on success).
+        if os.environ.get("CODENERF_BENCH_RETRY") == "1":
+            raise
+        print(f"bench attempt 1 failed ({e!r}); retrying in a fresh "
+              "process", file=sys.stderr, flush=True)
+        os.environ["CODENERF_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
     print(json.dumps({
         "metric": "rays/sec/chip (train + render)",
         "value": round(r["rays_per_sec_combined"], 1),
