@@ -376,7 +376,7 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
 
 def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
                   want_weights: bool, want_rgb: bool, weight_grads: bool,
-                  *refs):
+                  input_grads: bool, *refs):
     """SINGLE-PASS training kernel: forward + volume rendering + per-ray
     MSE cotangent + full backward in one grid step per ray tile.
 
@@ -400,12 +400,17 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
            weights plane that drives hierarchical importance sampling],
            [rgb8 (T,8) — only when ``want_rgb``; the composited
            [r|g|b|depth|acc|...] rows, for progress renders],
+           [d_ro8 (T,8), d_vd8 (T,8), d_z (T,S) — only when
+           ``input_grads``; the exact ray/depth cotangents: the xyz/PE
+           Jacobian chain plus the in-kernel composite's own z term.
+           TRAINING never differentiates through rays or depths
+           (hierarchical z is behind stop_gradient upstream), but POSE
+           optimization does — its gradient flows through ray generation
+           and the sampling bounds],
            [(dw_i, db_i)* accumulators — only when ``weight_grads``;
-           weight_grads=False is the frozen-model (test-time codes)
+           weight_grads=False is the frozen-model (test-time codes/pose)
            variant: the dW/db chains and accumulator blocks vanish,
            2F total].
-    No input (ro/vd/z) cotangents: training never differentiates through
-    rays or depths (hierarchical z is behind stop_gradient upstream).
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -430,6 +435,9 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     if want_rgb:
         rgb_ref = refs[n_head]
         n_head += 1
+    if input_grads:
+        d_ro_ref, d_vd_ref, d_z_ref = refs[n_head:n_head + 3]
+        n_head += 3
     dwb_refs = refs[n_head:n_head + 2 * k] if weight_grads else []
 
     i = pl.program_id(0)
@@ -450,7 +458,7 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     xyz8 = (ro8[:, None, :] + vd8[:, None, :] * z[:, :, None]).reshape(P, 8)
     peA = peA_ref[...]
     m_id, m_sin, m_cos = peid_ref[...], pesin_ref[...], pecos_ref[...]
-    pe_f32, _ = fused_mlp._pe_in_kernel(xyz8, peA, m_id, m_sin, m_cos)
+    pe_f32, t_pe = fused_mlp._pe_in_kernel(xyz8, peA, m_id, m_sin, m_cos)
     pe = pe_f32.astype(bf16)
     sproj = sproj_ref[...]
     tproj = tproj_ref[...]
@@ -476,7 +484,7 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
     se_ref[...] = diff * diff        # per-ray SE rows; summed by XLA
     g8 = (2.0 * scale) * diff                           # d out8
-    g_sigma, gc0, gc1, gc2, _dz = fused_mlp.composite_bwd_in_kernel(
+    g_sigma, gc0, gc1, gc2, dz_comp = fused_mlp.composite_bwd_in_kernel(
         sigma, c0, c1, c2, z, g8, aux, white_bg)
 
     # ---------------- backward chain (stored activations — no recompute)
@@ -485,19 +493,33 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
             + jnp.where(lane == 1, gc1[:, :, None], 0.0)
             + jnp.where(lane == 2, gc2[:, :, None], 0.0))
 
-    _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
-                   dwb_refs, idx_of, weight_grads,
-                   d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
-                   want_input_chain=False)
+    gh = _tile_backward(cfg, S, T, h, acts, sproj, tproj, g_sigma, g8_3,
+                        dwb_refs, idx_of, weight_grads,
+                        d_sproj_ref, d_tproj_ref, d_vcontrib_ref,
+                        want_input_chain=input_grads)
+    if input_grads:
+        # PE/xyz Jacobian chain (same math as _bwd_kernel) plus the
+        # composite's own z cotangent — together the EXACT d(ro, vd, z).
+        d_pe = h.dot_t(gh, h.w("enc_xyz"))                    # (P, 64) f32
+        dpe_dt = m_id + m_sin * jnp.cos(t_pe) - m_cos * jnp.sin(t_pe)
+        d_xyz8 = jax.lax.dot_general(
+            d_pe * dpe_dt, peA,
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # @ A^T
+        d_xyz3 = d_xyz8.reshape(T, S, 8)
+        d_z_ref[...] = dz_comp + jnp.sum(d_xyz3 * vd8[:, None, :], axis=-1)
+        d_ro_ref[...] = jnp.sum(d_xyz3, axis=1)                    # (T, 8)
+        d_vd_ref[...] = jnp.sum(d_xyz3 * z[:, :, None], axis=1)    # (T, 8)
 
 
 def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
                        scale: float, ro8, vd8, z, sproj, tproj, vcontrib,
                        gt8, wflat, want_weights: bool = False,
-                       want_rgb: bool = False, weight_grads: bool = True):
+                       want_rgb: bool = False, weight_grads: bool = True,
+                       input_grads: bool = False):
     """Run the single-pass training kernel. Returns
     ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [weights], [rgb8],
-    [dw_i/db_i f32...])`` where se_sum is Σ over rays of Σ_rgb (rgb−gt)²
+    [d_ro8, d_vd8, d_z], [dw_i/db_i f32...])`` where se_sum is Σ over
+    rays of Σ_rgb (rgb−gt)²
     and the weight gradients match the operand order of
     :func:`flatten_params_f32` (already scaled by the in-kernel
     ``2·scale`` cotangent).
@@ -510,7 +532,10 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     renders ride the optimization for free). ``weight_grads=False`` is
     the frozen-model variant for test-time CODE optimization (reference
     ``src/optimizer.py:195-198``): no dW/db chains or outputs — 2F of MLP
-    FLOPs instead of 3F."""
+    FLOPs instead of 3F. ``input_grads=True`` additionally emits the
+    exact ray/depth cotangents ``(d_ro8 (R,8), d_vd8 (R,8), d_z (R,S))``
+    after the rgb plane — the POSE-optimization variant, whose gradient
+    flows through ray generation and the sampling bounds."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -560,6 +585,13 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     if want_rgb:
         out_shape.append(jax.ShapeDtypeStruct((R, 8), f32))         # rgb8
         out_specs.append(tile_spec((T, 8), lambda i: (i, 0)))
+    if input_grads:
+        out_shape += [jax.ShapeDtypeStruct((R, 8), f32),            # d_ro8
+                      jax.ShapeDtypeStruct((R, 8), f32),            # d_vd8
+                      jax.ShapeDtypeStruct((R, S), f32)]            # d_z
+        out_specs += [tile_spec((T, 8), lambda i: (i, 0)),
+                      tile_spec((T, 8), lambda i: (i, 0)),
+                      tile_spec((T, S), lambda i: (i, 0))]
     if weight_grads:
         for name, wshape, bshape in names:
             out_shape += [jax.ShapeDtypeStruct(wshape, f32),
@@ -574,7 +606,8 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     )
     outs = pl.pallas_call(
         functools.partial(_train_kernel, cfg, S, white_bg, scale,
-                          want_weights, want_rgb, weight_grads),
+                          want_weights, want_rgb, weight_grads,
+                          input_grads),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -65,9 +65,16 @@ def optimize_pose_and_codes(
     ``use_fused`` (default: ``hp.use_fused_train``) runs each step through
     the pose-variant fused Pallas kernels (frozen weights, ray/depth
     cotangents kept — the pose gradient flows through ray generation both
-    in-kernel and through the per-ray prologue).
+    in-kernel and through the per-ray prologue). When ``fused_composite``
+    is also on, each step is a SINGLE-PASS frozen-model kernel call
+    (forward + volume rendering + MSE cotangent + input-chain backward in
+    one grid step, 2F of MLP FLOPs) whose exact ``(d_ro, d_vd, d_z)``
+    cotangents chain through one ``jax.vjp`` over pose→ray→bounds→sample
+    generation — the same structure as single-pass codes optimization.
     """
     from codenerf_tpu.optimization.codes_opt import build_fused_codes_fns
+    from codenerf_tpu.ops import fused_mlp
+    from codenerf_tpu.ops import fused_train as ft_mod
 
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
@@ -75,8 +82,20 @@ def optimize_pose_and_codes(
     flat_rgb = image.reshape(-1, 3).astype(jnp.float32)
     init_c2w = jnp.asarray(init_c2w, jnp.float32)
     rays_per_step = min(rays_per_step, H * W)
-    apply_fn, composite_fn = build_fused_codes_fns(
-        hp, rays_per_step, use_fused=use_fused, input_grads=True)
+    fused = hp.use_fused_train if use_fused is None else use_fused
+    hier = rcfg.n_importance > 0
+    sample_counts = [rcfg.n_samples] + (
+        [rcfg.n_samples + rcfg.n_importance] if hier else [])
+    use_single_pass = (
+        fused and hp.fused_composite
+        and (not hier or rcfg.share_fine_weights)
+        and all(ft_mod.fused_train_available(net_cfg, rays_per_step, s)
+                for s in sample_counts)
+    )
+    apply_fn = composite_fn = None
+    if not use_single_pass:
+        apply_fn, composite_fn = build_fused_codes_fns(
+            hp, rays_per_step, use_fused=use_fused, input_grads=True)
 
     tx = optax.multi_transform(
         {
@@ -114,6 +133,107 @@ def optimize_pose_and_codes(
         reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
         return loss + hp.loss_reg_coef * reg, mse
 
+    # SINGLE-PASS pose backward: the frozen-model kernel variant with
+    # input cotangents (weight_grads=False, input_grads=True). One
+    # jax.vjp over the pose→ray→bounds→sample→projection prologue chains
+    # the kernel's exact (d_ro8, d_vd8, d_z, d_sproj, d_tproj,
+    # d_vcontrib) into the se(3)/code gradient; hierarchical adds a
+    # second vjp over z→sample_pdf→union (z_mid is differentiable w.r.t.
+    # the pose — matching renderer.render_rays, only the coarse WEIGHTS
+    # are behind stop_gradient).
+    if use_single_pass:
+        from codenerf_tpu.renderer import coarse_zvals
+        if hier:
+            from codenerf_tpu.core.sampling import (
+                sample_pdf,
+                union_sorted_zvals,
+            )
+        scale = 1.0 / (rays_per_step * 3.0)
+        f32 = jnp.float32
+        wflat_sp = [jax.lax.stop_gradient(w)
+                    for w in ft_mod.flatten_params_f32(params, net_cfg)]
+
+        def sp_value_and_grad(variables, step_key):
+            pix = jax.random.randint(step_key, (rays_per_step,), 0, H * W)
+            u = (pix % W).astype(f32)
+            v = (pix // W).astype(f32)
+            uv = jnp.stack([u, v], axis=-1)
+            gt8 = fused_mlp._pad_lanes(flat_rgb[pix], 8)
+            render_key = jax.random.fold_in(step_key, 1)
+            key_fine = jax.random.split(render_key)[1]  # coarse_zvals split
+            focal_b = jnp.full((rays_per_step,), focal, f32)
+
+            def prologue(variables):
+                c2w = refine_pose(variables["xi"], init_c2w)
+                c2w_b = jnp.broadcast_to(c2w[:3, :], (rays_per_step, 3, 4))
+                ro, vd = pixel_rays(uv, focal_b, c2w_b, H, W)
+                sc, tc = variables["shape"], variables["texture"]
+                if not optimize_codes:
+                    sc = jax.lax.stop_gradient(sc)
+                    tc = jax.lax.stop_gradient(tc)
+                z2d, _ = coarse_zvals(rcfg, ro, vd, render_key)
+                return fused_mlp.prep_ray_operands(
+                    params, net_cfg, ro, vd, z2d, sc, tc)
+
+            ops6, pvjp = jax.vjp(prologue, variables)
+            ro8, vd8, z2d, sproj, tproj, vcontrib = ops6
+            outs = ft_mod.invoke_train_fused(
+                net_cfg, z2d.shape[1], rays_per_step, rcfg.white_bg, scale,
+                ro8, vd8, z2d, sproj, tproj, vcontrib, gt8, wflat_sp,
+                want_weights=hier, weight_grads=False, input_grads=True)
+            se_c, d_sproj, d_tproj, d_vcontrib = outs[:4]
+            idx = 4
+            if hier:
+                w_coarse = outs[idx]
+                idx += 1
+            d_ro8, d_vd8, d_z = outs[idx:idx + 3]
+            if hier:
+                w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
+
+                def zall_fn(z_):
+                    z_mid = 0.5 * (z_[:, 1:] + z_[:, :-1])
+                    z_fine = sample_pdf(key_fine, z_mid, w_int,
+                                        rcfg.n_importance,
+                                        deterministic=False)
+                    return union_sorted_zvals(z_, z_fine)
+
+                z_all, zvjp = jax.vjp(zall_fn, z2d)
+                outs_f = ft_mod.invoke_train_fused(
+                    net_cfg, z_all.shape[1], rays_per_step, rcfg.white_bg,
+                    scale, ro8, vd8, z_all, sproj, tproj, vcontrib, gt8,
+                    wflat_sp, weight_grads=False, input_grads=True)
+                (se_f, d_sproj_f, d_tproj_f, d_vcontrib_f,
+                 d_ro8_f, d_vd8_f, d_z_all) = outs_f
+                add_ct = lambda a, b: (a.astype(f32)
+                                       + b.astype(f32)).astype(a.dtype)
+                d_sproj = add_ct(d_sproj, d_sproj_f)
+                d_tproj = add_ct(d_tproj, d_tproj_f)
+                d_vcontrib = add_ct(d_vcontrib, d_vcontrib_f)
+                d_ro8 = d_ro8 + d_ro8_f
+                d_vd8 = d_vd8 + d_vd8_f
+                (d_z2d_extra,) = zvjp(d_z_all)
+                d_z = d_z + d_z2d_extra
+                mse = se_f * scale
+                loss_se = (se_c + se_f) * scale
+            else:
+                mse = se_c * scale
+                loss_se = mse
+            (g_vars,) = pvjp((d_ro8, d_vd8, d_z, d_sproj, d_tproj,
+                              d_vcontrib))
+
+            def reg_fn(variables):
+                sc, tc = variables["shape"], variables["texture"]
+                if not optimize_codes:
+                    sc = jax.lax.stop_gradient(sc)
+                    tc = jax.lax.stop_gradient(tc)
+                return jnp.linalg.norm(sc) + jnp.linalg.norm(tc)
+
+            reg, g_reg = jax.value_and_grad(reg_fn)(variables)
+            loss = loss_se + hp.loss_reg_coef * reg
+            grads = jax.tree_util.tree_map(
+                lambda a, b: a + hp.loss_reg_coef * b, g_vars, g_reg)
+            return (loss, mse), grads
+
     @jax.jit
     def run(variables0, key):
         opt_state0 = tx.init(variables0)
@@ -121,9 +241,12 @@ def optimize_pose_and_codes(
         def step(carry, xs):
             step_idx, step_key = xs
             variables, opt_state = carry
-            (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                variables, step_key
-            )
+            if use_single_pass:
+                (_, mse), grads = sp_value_and_grad(variables, step_key)
+            else:
+                (_, mse), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    variables, step_key
+                )
             updates, opt_state = tx.update(grads, opt_state, variables)
             # Pose-only warmup: suppress code updates for the first k steps.
             code_gate = (step_idx >= pose_only_steps).astype(jnp.float32)

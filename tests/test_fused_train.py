@@ -414,6 +414,66 @@ def test_fused_codes_op_grads():
         assert rel_fused <= rel_xla * 1.5 + 1e-3, (name, rel_fused, rel_xla)
 
 
+def test_single_pass_input_grads_vs_autodiff():
+    """The single-pass kernel's input-cotangent variant (weight_grads=False,
+    input_grads=True — the POSE path): the emitted (d_ro, d_vd, d_z)
+    chained through one vjp over prep_ray_operands must be at least as
+    close to the f32 autodiff gradient as the XLA bf16 path is. d_z in
+    particular sums the in-kernel composite's own z term with the xyz/PE
+    Jacobian chain."""
+    from codenerf_tpu.core.render import composite as composite_xla
+    from codenerf_tpu.ops import fused_mlp
+    from codenerf_tpu.ops import fused_train as ft
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 32, 16
+    ro, vd, z, sc, tc, _, _ = _setup(cfg, R, S)
+    sc, tc = sc[0], tc[0]
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (R, 3))
+    gt8 = fused_mlp._pad_lanes(gt, 8)
+    scale = 1.0 / (R * 3.0)
+    wflat = [jax.lax.stop_gradient(w)
+             for w in ft.flatten_params_f32(params, cfg)]
+
+    def xla_loss(dtype):
+        def loss(ro, vd, z):
+            xyz = ro[:, None, :] + vd[:, None, :] * z[..., None]
+            s, r = apply_codenerf(
+                params, cfg, xyz, vd,
+                jnp.broadcast_to(sc, (R, cfg.latent_dim)),
+                jnp.broadcast_to(tc, (R, cfg.latent_dim)),
+                compute_dtype=dtype)
+            res = composite_xla(s, r, z, white_bg=True)
+            return jnp.sum((res.rgb - gt) ** 2) * scale
+        return loss
+
+    def sp_grads(ro, vd, z):
+        def prologue(ro, vd, z):
+            return fused_mlp.prep_ray_operands(params, cfg, ro, vd, z,
+                                               sc, tc)
+        ops6, pvjp = jax.vjp(prologue, ro, vd, z)
+        ro8, vd8, z2, sproj, tproj, vcontrib = ops6
+        outs = ft.invoke_train_fused(
+            cfg, S, R, True, scale, ro8, vd8, z2, sproj, tproj, vcontrib,
+            gt8, wflat, weight_grads=False, input_grads=True)
+        se, d_sproj, d_tproj, d_vcontrib, d_ro8, d_vd8, d_z = outs
+        return se, pvjp((d_ro8, d_vd8, d_z, d_sproj, d_tproj, d_vcontrib))
+
+    l32 = float(xla_loss(jnp.float32)(ro, vd, z))
+    se, gfu = sp_grads(ro, vd, z)
+    assert abs(float(se) * scale - l32) < 2e-3 * max(1.0, abs(l32))
+    g32 = jax.grad(xla_loss(jnp.float32), (0, 1, 2))(ro, vd, z)
+    g16 = jax.grad(xla_loss(jnp.bfloat16), (0, 1, 2))(ro, vd, z)
+    for name, a32, a16, afu in zip(["ro", "vd", "z"], g32, g16, gfu):
+        v32, v16, vfu = _flat(a32), _flat(a16), _flat(afu)
+        rel_xla = float(jnp.linalg.norm(v16 - v32)
+                        / (jnp.linalg.norm(v32) + 1e-12))
+        rel_fused = float(jnp.linalg.norm(vfu - v32)
+                          / (jnp.linalg.norm(v32) + 1e-12))
+        assert rel_fused <= rel_xla * 1.5 + 1e-3, (name, rel_fused, rel_xla)
+
+
 @pytest.mark.parametrize("composite", [False, True])
 def test_optimize_codes_fused_matches_xla(monkeypatch, composite):
     """optimize_codes with the codes-only fused kernels, both routes —
@@ -596,28 +656,60 @@ def test_fused_pose_op_grads():
                                    rtol=1e-5, atol=1e-7, err_msg=name)
 
 
-def test_pose_opt_fused_matches_xla():
-    """optimize_pose_and_codes on the fused pose kernels: trajectory must
-    track the XLA path and actually reduce the pose error."""
+@pytest.mark.parametrize("composite,n_importance", [
+    (False, 0),   # plane pose op + XLA composite
+    (True, 0),    # SINGLE-PASS frozen-model kernel (input_grads)
+    (True, 8),    # single-pass hierarchical (two kernel calls, z-vjp)
+])
+def test_pose_opt_fused_matches_xla(monkeypatch, composite, n_importance):
+    """optimize_pose_and_codes on the fused pose kernels — the plane-op
+    route and the SINGLE-PASS frozen-model route (weight_grads=False,
+    input_grads=True; late r3), incl. hierarchical where the pose
+    gradient flows through sample_pdf's z-midpoints. The selected route
+    must actually be traced (program-identity spies) and the trajectory
+    must match the XLA path."""
     from codenerf_tpu.data.synthetic import synthetic_scene
     from codenerf_tpu.optimization.pose_opt import optimize_pose_and_codes
+    from codenerf_tpu.ops import fused_train as ft
 
-    hp = _fused_hparams(n_samples=8)
+    hp = _fused_hparams(n_samples=8, fused_composite=composite)
     scene = synthetic_scene(n_objects=1, n_views=2, H=16, W=16, seed=4)
     import dataclasses
     hp = dataclasses.replace(
         hp, render=dataclasses.replace(hp.render, near=scene["near"],
-                                       far=scene["far"]))
+                                       far=scene["far"],
+                                       n_importance=n_importance))
     params = init_codenerf(jax.random.PRNGKey(1), hp.net)
     img = jnp.asarray(scene["images"][0, 0], jnp.float32) / 255.0
     c2w = jnp.asarray(scene["poses"][0, 0])
     init = jnp.zeros((hp.net.latent_dim,))
+
+    calls = {"pose_op": 0, "single": 0}
+    orig_plane = ft.make_fused_pose_op
+    orig_single = ft.invoke_train_fused
+
+    def spy_plane(*a, **kw):
+        calls["pose_op"] += 1
+        return orig_plane(*a, **kw)
+
+    def spy_single(*a, **kw):
+        calls["single"] += 1
+        return orig_single(*a, **kw)
+
+    monkeypatch.setattr(ft, "make_fused_pose_op", spy_plane)
+    monkeypatch.setattr(ft, "invoke_train_fused", spy_single)
 
     kwargs = dict(num_opts=3, rays_per_step=64, lr_codes=1e-2,
                   lr_pose=1e-2, lr_half_interval=2)
     res_f = optimize_pose_and_codes(
         params, hp, img, c2w, float(scene["focals"][0]), init, init,
         jax.random.PRNGKey(0), use_fused=True, **kwargs)
+    if composite:
+        assert calls["single"] >= 1, "single-pass pose kernel never traced"
+        assert calls["pose_op"] == 0
+    else:
+        assert calls["pose_op"] == 1, "plane pose op never built"
+        assert calls["single"] == 0
     res_x = optimize_pose_and_codes(
         params, hp, img, c2w, float(scene["focals"][0]), init, init,
         jax.random.PRNGKey(0), use_fused=False, **kwargs)
