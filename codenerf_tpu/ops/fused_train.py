@@ -68,6 +68,50 @@ def fused_train_available(cfg: NetConfig, n_rays: int, n_samples: int) -> bool:
     )
 
 
+def single_pass_available(cfg: NetConfig, n_rays: int) -> bool:
+    """True when the SINGLE-PASS loss kernel (``invoke_train_fused``) can
+    tile this problem. Looser than :func:`fused_train_available`: the
+    single-pass kernel only tiles rays at ``_TRAIN_TILE_RAYS`` (16), not
+    the forward plane kernel's 32 — a 10000-ray step is single-pass
+    eligible even though the plane-op pair can't run it."""
+    return (
+        cfg.W % 128 == 0
+        and (cfg.W // 2) % 128 == 0
+        and cfg.d_xyz <= 64
+        and cfg.shape_blocks >= 1
+        and cfg.texture_blocks >= 1
+        and n_rays % _TRAIN_TILE_RAYS == 0
+    )
+
+
+def hier_fine_zvals(z2d: jnp.ndarray, w_coarse: jnp.ndarray,
+                    key_fine: jax.Array, n_importance: int) -> jnp.ndarray:
+    """Standard NeRF importance sampling from the coarse single-pass
+    kernel's weights plane — the ONE recipe shared by the hierarchical
+    train/codes/pose single-pass paths (and matching
+    ``renderer.render_rays``): interior coarse weights (behind
+    stop_gradient) drive a piecewise-constant pdf over the z midpoints,
+    and the union with the coarse z is what the fine pass evaluates.
+    The z-midpoint chain stays DIFFERENTIABLE — pose optimization vjp's
+    through it; training/codes never differentiate z so the chain is
+    simply unused there."""
+    from codenerf_tpu.core.sampling import sample_pdf, union_sorted_zvals
+
+    z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
+    w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
+    z_fine = sample_pdf(key_fine, z_mid, w_int, n_importance,
+                        deterministic=False)
+    return union_sorted_zvals(z2d, z_fine)
+
+
+def add_cotangent(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Sum two per-ray cotangent planes in f32 regardless of their (bf16)
+    storage dtype — used to merge the coarse and fine kernel calls'
+    cotangents before the shared prologue VJP."""
+    f32 = jnp.float32
+    return (a.astype(f32) + b.astype(f32)).astype(a.dtype)
+
+
 def _weight_shapes(cfg: NetConfig) -> List[Tuple[str, tuple, tuple]]:
     """(name, w_shape, b_shape) in operand order. enc_viewdir's bias rides
     in vcontrib, so its slot here is a zero vector (gradient discarded)."""
@@ -833,12 +877,6 @@ def make_fused_codes_composite_op(cfg: NetConfig, white_bg: bool = True):
     """Codes-only plane op chained into the fat-tile composite — the
     coarse-only codes-optimization loss path."""
     return _with_composite(make_fused_codes_op(cfg), white_bg)
-
-
-def make_fused_pose_composite_op(cfg: NetConfig, white_bg: bool = True):
-    """Pose plane op chained into the fat-tile composite (the composite's
-    dz cotangent chains into the pose through the sampler)."""
-    return _with_composite(make_fused_pose_op(cfg), white_bg)
 
 
 def fused_apply_train(

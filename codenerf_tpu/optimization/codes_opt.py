@@ -101,15 +101,16 @@ def build_fused_codes_fns(hp: Hparams, chunk: int, *,
                 f"samples={sample_counts})")
         return None, None
 
-    if input_grads:
-        make_plane = ft.make_fused_pose_op
-        make_comp = ft.make_fused_pose_composite_op
-    else:
-        make_plane = ft.make_fused_codes_op
-        make_comp = ft.make_fused_codes_composite_op
-    fuse_composite = hp.fused_composite and rcfg.n_importance == 0
+    make_plane = (ft.make_fused_pose_op if input_grads
+                  else ft.make_fused_codes_op)
+    # input_grads (pose) never takes the plane+composite route: pose_opt's
+    # single-pass kernel covers every case that branch would, so only the
+    # codes variant keeps a composite op (it still serves padded chunks).
+    fuse_composite = (hp.fused_composite and rcfg.n_importance == 0
+                      and not input_grads)
     if fuse_composite:
-        _op = make_comp(net_cfg, white_bg=rcfg.white_bg)
+        _op = ft.make_fused_codes_composite_op(net_cfg,
+                                               white_bg=rcfg.white_bg)
 
         def composite_fn(p, cfg, ray_o, viewdir, z_vals, s_code, t_code):
             return ft.fused_render_train(p, cfg, ray_o, viewdir, z_vals,
@@ -137,15 +138,45 @@ _RUN_CACHE = collections.OrderedDict()
 _RUN_CACHE_MAX = 16
 
 
+def safe_code_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """``||x||`` with a finite gradient at ``x = 0``: the gradient of
+    ``jnp.linalg.norm`` is ``x/||x|| = 0/0 = NaN`` there, and zero-init
+    codes are a natural unknown-object start — one NaN reg gradient
+    poisons the whole optimization. Value and gradient are identical to
+    the plain norm for any ``||x|| > 1e-12`` (reference reg:
+    ``src/optimizer.py:213``)."""
+    sq = jnp.sum(x * x)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
+
+
 def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                num_opts: int, lr: float, lr_half_interval: int,
                reference_resets: bool, use_fused: Optional[bool],
                progress_rays: int = 0):
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
-    apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
-                                                   use_fused=use_fused)
-    fused = apply_fn is not None or composite_fn is not None
+
+    # SINGLE-PASS route (late round 3): the frozen-model variant of the
+    # training loss kernel. Gated on pad-free chunking (the in-kernel MSE
+    # cotangent has no ray mask — real SRN views always chunk exactly)
+    # and the single-pass tiling rule (rays % 16; looser than the
+    # plane-op pair's % 32). When it holds, the plane ops are never
+    # built.
+    from codenerf_tpu.ops import fused_train as _ft
+
+    want_fused = hp.use_fused_train if use_fused is None else use_fused
+    use_single_pass = (
+        want_fused and hp.fused_composite
+        and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
+        and n_chunks * chunk == n_rays
+        and _ft.single_pass_available(net_cfg, chunk)
+    )
+    apply_fn = composite_fn = None
+    if want_fused and not use_single_pass:
+        apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
+                                                       use_fused=use_fused)
+    fused = (use_single_pass or apply_fn is not None
+             or composite_fn is not None)
 
     # AdamW on the two code vectors only — the model is frozen exactly
     # like the reference (optimizer.py:195-198).
@@ -187,7 +218,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
             (ro_c, vd_c, gt_c, mask_c, keys),
         )
         scale = 1.0 / (n_rays * 3.0)
-        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
+        reg = safe_code_norm(shape_code) + safe_code_norm(texture_code)
         progress = (rgb_chunks.reshape(-1, 3)[:progress_rays]
                     if progress_rays else jnp.zeros((0, 3), jnp.float32))
         return opt_se * scale + hp.loss_reg_coef * reg, (final_se * scale,
@@ -200,25 +231,13 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
     # per-ray code projections chains the kernel cotangents into the
     # exact codes gradient; progress renders ride the kernel's rgb rows
     # (want_rgb). Hierarchical runs the same two-call structure as
-    # training (coarse emits the weights plane for sample_pdf). Needs
-    # pad-free chunking (the in-kernel MSE cotangent has no ray mask) —
-    # real SRN views (H*W = 4096k) always chunk exactly.
-    use_single_pass = (
-        fused and hp.fused_composite
-        and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
-        and n_chunks * chunk == n_rays
-    )
+    # training (coarse emits the weights plane for sample_pdf).
     if use_single_pass:
         from codenerf_tpu.ops import fused_mlp
         from codenerf_tpu.ops import fused_train as ft_mod
         from codenerf_tpu.renderer import coarse_zvals
 
         hier = rcfg.n_importance > 0
-        if hier:
-            from codenerf_tpu.core.sampling import (
-                sample_pdf,
-                union_sorted_zvals,
-            )
         scale = 1.0 / (n_rays * 3.0)
         f32 = jnp.float32
 
@@ -252,23 +271,17 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 rgb8 = None
                 if hier:
                     w_coarse = outs[4]
-                    z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
-                    w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
-                    z_fine = sample_pdf(key_fine, z_mid, w_int,
-                                        rcfg.n_importance,
-                                        deterministic=False)
-                    z_all = union_sorted_zvals(z2d, z_fine)
+                    z_all = ft_mod.hier_fine_zvals(z2d, w_coarse, key_fine,
+                                                   rcfg.n_importance)
                     outs_f = ft_mod.invoke_train_fused(
                         net_cfg, z_all.shape[1], chunk, rcfg.white_bg,
                         scale, ro8, vd8, z_all, sproj, tproj, vcontrib,
                         gt8, wflat, want_rgb=want_prog,
                         weight_grads=False)
                     se_f = outs_f[0]
-                    add_ct = lambda a, b: (a.astype(f32)
-                                           + b.astype(f32)).astype(a.dtype)
-                    d_sproj = add_ct(d_sproj, outs_f[1])
-                    d_tproj = add_ct(d_tproj, outs_f[2])
-                    d_vcontrib = add_ct(d_vcontrib, outs_f[3])
+                    d_sproj = ft_mod.add_cotangent(d_sproj, outs_f[1])
+                    d_tproj = ft_mod.add_cotangent(d_tproj, outs_f[2])
+                    d_vcontrib = ft_mod.add_cotangent(d_vcontrib, outs_f[3])
                     if want_prog:
                         rgb8 = outs_f[4]
                     fin, opt = se_f, se_f + se_c
@@ -292,7 +305,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
 
             def reg_fn(cds):
                 sc, tc = cds
-                return jnp.linalg.norm(sc) + jnp.linalg.norm(tc)
+                return safe_code_norm(sc) + safe_code_norm(tc)
 
             reg, g_reg = jax.value_and_grad(reg_fn)(codes)
             loss = opt_se * scale + hp.loss_reg_coef * reg

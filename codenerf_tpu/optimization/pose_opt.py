@@ -72,7 +72,10 @@ def optimize_pose_and_codes(
     cotangents chain through one ``jax.vjp`` over pose→ray→bounds→sample
     generation — the same structure as single-pass codes optimization.
     """
-    from codenerf_tpu.optimization.codes_opt import build_fused_codes_fns
+    from codenerf_tpu.optimization.codes_opt import (
+        build_fused_codes_fns,
+        safe_code_norm,
+    )
     from codenerf_tpu.ops import fused_mlp
     from codenerf_tpu.ops import fused_train as ft_mod
 
@@ -84,13 +87,10 @@ def optimize_pose_and_codes(
     rays_per_step = min(rays_per_step, H * W)
     fused = hp.use_fused_train if use_fused is None else use_fused
     hier = rcfg.n_importance > 0
-    sample_counts = [rcfg.n_samples] + (
-        [rcfg.n_samples + rcfg.n_importance] if hier else [])
     use_single_pass = (
         fused and hp.fused_composite
         and (not hier or rcfg.share_fine_weights)
-        and all(ft_mod.fused_train_available(net_cfg, rays_per_step, s)
-                for s in sample_counts)
+        and ft_mod.single_pass_available(net_cfg, rays_per_step)
     )
     apply_fn = composite_fn = None
     if not use_single_pass:
@@ -130,7 +130,7 @@ def optimize_pose_and_codes(
         loss = mse
         if res.fine is not None:
             loss = loss + jnp.mean((res.coarse.rgb - gt) ** 2)
-        reg = jnp.linalg.norm(shape_code) + jnp.linalg.norm(texture_code)
+        reg = safe_code_norm(shape_code) + safe_code_norm(texture_code)
         return loss + hp.loss_reg_coef * reg, mse
 
     # SINGLE-PASS pose backward: the frozen-model kernel variant with
@@ -143,11 +143,6 @@ def optimize_pose_and_codes(
     # are behind stop_gradient).
     if use_single_pass:
         from codenerf_tpu.renderer import coarse_zvals
-        if hier:
-            from codenerf_tpu.core.sampling import (
-                sample_pdf,
-                union_sorted_zvals,
-            )
         scale = 1.0 / (rays_per_step * 3.0)
         f32 = jnp.float32
         wflat_sp = [jax.lax.stop_gradient(w)
@@ -188,27 +183,21 @@ def optimize_pose_and_codes(
                 idx += 1
             d_ro8, d_vd8, d_z = outs[idx:idx + 3]
             if hier:
-                w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
-
-                def zall_fn(z_):
-                    z_mid = 0.5 * (z_[:, 1:] + z_[:, :-1])
-                    z_fine = sample_pdf(key_fine, z_mid, w_int,
-                                        rcfg.n_importance,
-                                        deterministic=False)
-                    return union_sorted_zvals(z_, z_fine)
-
-                z_all, zvjp = jax.vjp(zall_fn, z2d)
+                # The pose gradient flows through the z-midpoints of the
+                # importance sampler (the weights are stop_gradient'ed
+                # inside the helper) — vjp over the shared recipe.
+                z_all, zvjp = jax.vjp(
+                    lambda z_: ft_mod.hier_fine_zvals(
+                        z_, w_coarse, key_fine, rcfg.n_importance), z2d)
                 outs_f = ft_mod.invoke_train_fused(
                     net_cfg, z_all.shape[1], rays_per_step, rcfg.white_bg,
                     scale, ro8, vd8, z_all, sproj, tproj, vcontrib, gt8,
                     wflat_sp, weight_grads=False, input_grads=True)
                 (se_f, d_sproj_f, d_tproj_f, d_vcontrib_f,
                  d_ro8_f, d_vd8_f, d_z_all) = outs_f
-                add_ct = lambda a, b: (a.astype(f32)
-                                       + b.astype(f32)).astype(a.dtype)
-                d_sproj = add_ct(d_sproj, d_sproj_f)
-                d_tproj = add_ct(d_tproj, d_tproj_f)
-                d_vcontrib = add_ct(d_vcontrib, d_vcontrib_f)
+                d_sproj = ft_mod.add_cotangent(d_sproj, d_sproj_f)
+                d_tproj = ft_mod.add_cotangent(d_tproj, d_tproj_f)
+                d_vcontrib = ft_mod.add_cotangent(d_vcontrib, d_vcontrib_f)
                 d_ro8 = d_ro8 + d_ro8_f
                 d_vd8 = d_vd8 + d_vd8_f
                 (d_z2d_extra,) = zvjp(d_z_all)
@@ -226,7 +215,7 @@ def optimize_pose_and_codes(
                 if not optimize_codes:
                     sc = jax.lax.stop_gradient(sc)
                     tc = jax.lax.stop_gradient(tc)
-                return jnp.linalg.norm(sc) + jnp.linalg.norm(tc)
+                return safe_code_norm(sc) + safe_code_norm(tc)
 
             reg, g_reg = jax.value_and_grad(reg_fn)(variables)
             loss = loss_se + hp.loss_reg_coef * reg

@@ -292,11 +292,6 @@ def build_train_step(
 
         reg_coef = hp.loss_reg_coef / hp.quirks.reg_chunk_divisor
         hier = rcfg.n_importance > 0
-        if hier:
-            from codenerf_tpu.core.sampling import (
-                sample_pdf,
-                union_sorted_zvals,
-            )
 
         def grad_fn(trainables, batch: Batch, key: jax.Array, occ_grid=None):
             """Single-pass fused loss+gradients: the kernel returns the
@@ -390,22 +385,14 @@ def build_train_step(
             else:
                 se_c, d_sproj, d_tproj, d_vcontrib, w_coarse = outs[:5]
                 dwb = list(outs[5:])
-                # Standard NeRF importance sampling: interior coarse
-                # weights drive a piecewise-constant pdf over mid-bins
-                # (renderer.render_rays does the same in XLA).
-                z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
-                w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
-                z_fine = sample_pdf(key_fine, z_mid, w_int,
-                                    rcfg.n_importance, deterministic=False)
-                z_all = union_sorted_zvals(z2d, z_fine)
+                z_all = ft.hier_fine_zvals(z2d, w_coarse, key_fine,
+                                           rcfg.n_importance)
                 outs_f = make_kernel_call(False)(
                     ro8, vd8, z_all, sproj, tproj, vcontrib, gt8, *wflat)
                 se_f = outs_f[0]
-                add_ct = lambda a, b: (a.astype(f32)
-                                       + b.astype(f32)).astype(a.dtype)
-                d_sproj = add_ct(d_sproj, outs_f[1])
-                d_tproj = add_ct(d_tproj, outs_f[2])
-                d_vcontrib = add_ct(d_vcontrib, outs_f[3])
+                d_sproj = ft.add_cotangent(d_sproj, outs_f[1])
+                d_tproj = ft.add_cotangent(d_tproj, outs_f[2])
+                d_vcontrib = ft.add_cotangent(d_vcontrib, outs_f[3])
                 dwb = [a + b for a, b in zip(dwb, outs_f[4:])]
                 mse = se_f * scale
                 coarse_mse = se_c * scale

