@@ -166,3 +166,33 @@ def union_sorted_zvals(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarra
     if z_coarse.ndim == 1:
         z_coarse = jnp.broadcast_to(z_coarse, (z_fine.shape[0], z_coarse.shape[0]))
     return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)
+
+
+def merge_sorted_samples(z_coarse, z_fine, coarse_payloads, fine_payloads):
+    """Co-sort the union of coarse and fine samples with per-sample payloads.
+
+    The shared-weight hierarchical fine pass evaluates the SAME network at
+    ``union_sorted_zvals(z_coarse, z_fine)`` — but the values at the coarse
+    z's are already known from the coarse pass. This merges cached coarse
+    payloads (e.g. sigma / rgb channel planes) with freshly evaluated fine
+    payloads in union-sorted order, so only the ``n_importance`` new points
+    need an MLP evaluation.
+
+    A single stable multi-operand ``lax.sort`` keyed on the concatenated
+    [coarse, fine] z reproduces ``union_sorted_zvals`` exactly (same concat,
+    same stable sort → identical permutation, ties resolved coarse-first).
+
+    Args:
+      z_coarse: (R, Nc) float32 coarse depths.
+      z_fine:   (R, Nf) float32 fine depths.
+      coarse_payloads / fine_payloads: matching sequences of (R, Nc) / (R, Nf)
+        per-sample arrays to carry through the sort (any dtype).
+
+    Returns:
+      (z_all (R, Nc+Nf), tuple of merged payloads in input order).
+    """
+    z_cat = jnp.concatenate([z_coarse, z_fine], axis=-1)
+    ops = [z_cat] + [jnp.concatenate([c, f], axis=-1)
+                     for c, f in zip(coarse_payloads, fine_payloads)]
+    out = jax.lax.sort(ops, dimension=-1, num_keys=1, is_stable=True)
+    return out[0], tuple(out[1:])

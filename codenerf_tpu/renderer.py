@@ -28,6 +28,7 @@ from codenerf_tpu.core.render import RenderOutput, composite
 from codenerf_tpu.core.rays import camera_rays, ray_sphere_bounds
 from codenerf_tpu.core.sampling import (
     fixed_zvals,
+    merge_sorted_samples,
     sample_pdf,
     stratified_zvals,
     union_sorted_zvals,
@@ -208,7 +209,41 @@ def render_rays(
         )
         return composite(sigmas, rgbs, z_vals, white_bg=rcfg.white_bg)
 
-    coarse = eval_and_composite(params, z_coarse)
+    def eval_raw(p, z_vals):
+        """Per-sample sigmas (R, S) + rgb channel planes at z_vals, no
+        compositing — the raw form the shared-weight hierarchical merge
+        caches."""
+        z2d = jnp.broadcast_to(z_vals, (R, z_vals.shape[-1]))
+        xyz = ray_o[:, None, :] + viewdir[:, None, :] * z2d[..., None]
+        sigmas, rgbs = apply_codenerf(
+            p, net_cfg, xyz, viewdir, shape_code, texture_code,
+            compute_dtype=compute_dtype,
+        )
+        return z2d, sigmas, (rgbs[..., 0], rgbs[..., 1], rgbs[..., 2])
+
+    # Shared-weight hierarchical sampling on the plain XLA path evaluates
+    # the MLP only at the n_importance NEW samples: the fine pass's values
+    # at the coarse z's are identical to the coarse pass's (same network,
+    # same inputs), so they are cached and stable-merge-sorted into union
+    # order instead of recomputed — 1/3 fewer point evaluations at the
+    # default 64+64 config, on a forward that is HBM-roofline-bound
+    # (docs/ARCHITECTURE.md). Exact: gradients of the reused formulation
+    # are the gradients of `fine_loss(f(z_union)) + coarse_loss(f(z_c))`
+    # with f evaluated once per distinct z, the same function autodiff
+    # differentiates either way. The fused kernel paths (apply_fn /
+    # composite_fn) keep the explicit union evaluation — their sample
+    # counts are kernel-validated and their single-pass backward cannot
+    # accept external cotangents.
+    reuse_coarse = (
+        rcfg.n_importance > 0
+        and apply_fn is None and composite_fn is None
+        and (rcfg.share_fine_weights or fine_params is None)
+    )
+    if reuse_coarse:
+        z2d_c, sig_c, rgb_c = eval_raw(params, z_coarse)
+        coarse = composite(sig_c, rgb_c, z2d_c, white_bg=rcfg.white_bg)
+    else:
+        coarse = eval_and_composite(params, z_coarse)
     if rcfg.n_importance <= 0:
         return RenderResult(coarse=coarse, fine=None)
 
@@ -221,6 +256,13 @@ def render_rays(
         z_mid, w_interior, rcfg.n_importance,
         deterministic=deterministic,
     )
+    if reuse_coarse:
+        z2d_f, sig_f, rgb_f = eval_raw(params, z_fine)
+        z_all, merged = merge_sorted_samples(
+            z2d_c, z2d_f, (sig_c,) + rgb_c, (sig_f,) + rgb_f)
+        fine = composite(merged[0], merged[1:], z_all,
+                         white_bg=rcfg.white_bg)
+        return RenderResult(coarse=coarse, fine=fine)
     z_all = union_sorted_zvals(z_coarse, z_fine)
     p_fine = params if (rcfg.share_fine_weights or fine_params is None) else fine_params
     fine = eval_and_composite(p_fine, z_all)

@@ -66,6 +66,62 @@ def test_hierarchical_returns_both_passes_with_more_samples():
     assert res.final is res.fine
 
 
+def test_hierarchical_coarse_reuse_matches_explicit_union_eval():
+    """The shared-weight fine pass caches the coarse pass's sigma/rgb and
+    merge-sorts them with the new samples instead of re-evaluating the MLP
+    at the coarse z's. That must equal the explicit union re-evaluation —
+    forced here by share_fine_weights=False with fine_params=params (the
+    same weights through the old full-re-eval route)."""
+    cfg, rcfg, params, code, c2w = _setup()
+    ro, vd = camera_rays(8, 8, 10.0, c2w)
+    for key in (None, jax.random.PRNGKey(3)):
+        rc = dataclasses.replace(rcfg, n_importance=8)
+        reused = render_rays(params, cfg, rc, ro, vd, code, code, key=key,
+                             compute_dtype=jnp.float32)
+        rc_explicit = dataclasses.replace(rc, share_fine_weights=False)
+        explicit = render_rays(params, cfg, rc_explicit, ro, vd, code, code,
+                               key=key, fine_params=params,
+                               compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(reused.coarse.rgb),
+                                   np.asarray(explicit.coarse.rgb),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(reused.fine.rgb),
+                                   np.asarray(explicit.fine.rgb), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(reused.fine.depth),
+                                   np.asarray(explicit.fine.depth),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(reused.fine.weights),
+                                   np.asarray(explicit.fine.weights),
+                                   atol=1e-5)
+
+
+def test_hierarchical_coarse_reuse_gradients_match():
+    """Gradients through the reused formulation equal the explicit
+    re-evaluation's: same function, evaluated once per distinct z."""
+    cfg, rcfg, params, code, c2w = _setup()
+    ro, vd = camera_rays(4, 4, 10.0, c2w)
+    rc = dataclasses.replace(rcfg, n_importance=8)
+    rc_explicit = dataclasses.replace(rc, share_fine_weights=False)
+    key = jax.random.PRNGKey(5)
+
+    def loss_reused(p):
+        res = render_rays(p, cfg, rc, ro, vd, code, code, key=key,
+                          compute_dtype=jnp.float32)
+        return (jnp.mean(res.fine.rgb ** 2) + jnp.mean(res.coarse.rgb ** 2))
+
+    def loss_explicit(p):
+        res = render_rays(p, cfg, rc_explicit, ro, vd, code, code, key=key,
+                          fine_params=p, compute_dtype=jnp.float32)
+        return (jnp.mean(res.fine.rgb ** 2) + jnp.mean(res.coarse.rgb ** 2))
+
+    g1 = jax.grad(loss_reused)(params)
+    g2 = jax.grad(loss_explicit)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_white_vs_black_background():
     cfg, rcfg, params, code, c2w = _setup()
     ro, vd = camera_rays(4, 4, 10.0, c2w)
