@@ -81,3 +81,24 @@ def composite(
     if white_bg:
         rgb = rgb + (1.0 - acc)[..., None]
     return RenderOutput(rgb=rgb, depth=depth, acc=acc, weights=weights)
+
+
+def composite_weights(sigmas: jnp.ndarray, z_vals: jnp.ndarray) -> jnp.ndarray:
+    """Compositing weights alone (same math as :func:`composite` — deltas
+    with the 1e10 terminal, alpha, 1e-10-floored exclusive cumprod).
+
+    Weights are a function of sigma and z only; the coarse pass of fused
+    hierarchical training uses this on the sigma-only forward kernel's
+    output to drive ``sample_pdf`` without evaluating the texture branch
+    (ops/fused_train.py)."""
+    sigmas = sigmas.astype(jnp.float32)
+    z_vals = jnp.broadcast_to(z_vals.astype(jnp.float32), sigmas.shape)
+    deltas = z_vals[..., 1:] - z_vals[..., :-1]
+    deltas = jnp.concatenate(
+        [deltas, jnp.full_like(deltas[..., :1], 1e10)], axis=-1
+    )
+    alphas = 1.0 - jnp.exp(-sigmas * deltas)
+    trans = jnp.concatenate(
+        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas + 1e-10], axis=-1
+    )
+    return alphas * jnp.cumprod(trans, axis=-1)[..., :-1]

@@ -199,11 +199,79 @@ def composite_bwd_in_kernel(sig, c0, c1, c2, z, g8, aux, white_bg):
     return gsig, w * gr, w * gg, w * gb, dz
 
 
-def _kernel(cfg: NetConfig, S: int,
+def composite_fwd_masked_in_kernel(sig, c0, c1, c2, z, cdelta, cmask,
+                                   white_bg):
+    """Composite over the COARSE SUBSET of a union-sorted sample axis.
+
+    The dual-composite hierarchical training kernel evaluates the MLP once
+    at the union of coarse+fine depths and computes BOTH losses from that
+    one evaluation (ops/fused_train._train_kernel); this is the coarse
+    half. ``cdelta`` carries the consecutive-COARSE deltas at coarse
+    positions (terminal coarse delta 1e10, reference ``src/utils.py:36``)
+    and 0 at fine positions; ``cmask`` is 1.0 at coarse positions. Fine
+    positions then get alpha = 1 - exp(0) = 0 and a cumprod factor of
+    EXACTLY 1.0 (the reference's 1e-10 floor is masked to coarse entries),
+    so they contribute nothing — the result equals compositing the coarse
+    samples alone, up to f32 summation grouping in the (S, S) matmuls.
+    All inputs (T, S) f32; returns ``(out8 (T, 8), aux)`` like
+    :func:`composite_fwd_in_kernel`."""
+    T, S = z.shape
+    f32 = jnp.float32
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    M = (row < col).astype(f32)        # L @ M = exclusive cumsum of L
+
+    e = jnp.exp(-sig * cdelta)         # = 1 - alpha; exactly 1 at fine pos
+    a = 1.0 - e
+    u = e + 1e-10 * cmask              # cumprod operand; exactly 1 at fine
+    Tacc = jnp.exp(_dotf(jnp.log(u), M))
+    w = a * Tacc                       # 0 at fine positions
+
+    colsel = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
+    E = lambda k: (colsel == k).astype(f32)
+    out8 = (_dotf(w * c0, E(0)) + _dotf(w * c1, E(1)) + _dotf(w * c2, E(2))
+            + _dotf(w * z, E(3)) + _dotf(w, E(4)))
+    if white_bg:
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+        ones3 = jnp.where(lane8 < 3, 1.0, 0.0)
+        acc3 = _dotf(w, E(0) + E(1) + E(2))
+        out8 = out8 + ones3 - acc3
+    aux = (e, u, Tacc, w, M)
+    return out8, aux
+
+
+def composite_bwd_masked_in_kernel(c0, c1, c2, z, cdelta, g8, aux,
+                                   white_bg):
+    """Backward of :func:`composite_fwd_masked_in_kernel` given the
+    per-ray cotangent ``g8 (T, 8)``. Returns ``(gsig, gc0, gc1, gc2)`` —
+    (T, S) f32 cotangents on the union planes, EXACTLY zero at fine
+    positions (gsig carries a ``* cdelta`` factor, the gc's a ``* w``
+    factor). No dz: the dual-composite mode is training-only, and a
+    training step never differentiates through depths."""
+    e, u, Tacc, w, M = aux
+    gr, gg, gb = g8[:, 0:1], g8[:, 1:2], g8[:, 2:3]   # (T, 1)
+    gd, ga = g8[:, 3:4], g8[:, 4:5]
+    resid = ga - (gr + gg + gb if white_bg else 0.0)  # white bg: d acc
+    dw = gr * c0 + gg * c1 + gb * c2 + gd * z + resid
+    dL = _dotf_t(w * dw, M)
+    dx = e * (Tacc * dw - dL / u)      # x = sig * cdelta
+    gsig = dx * cdelta
+    return gsig, w * gr, w * gg, w * gb
+
+
+def _kernel(cfg: NetConfig, S: int, sigma_only: bool,
             ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
             peA_ref, peid_ref, pesin_ref, pecos_ref,
             *refs):
     """One grid step = one TILE-ray tile (P = TILE*S points).
+
+    ``sigma_only=True`` stops after the sigma head (single (T, S) output;
+    the viewdir/texture/rgb branch — ~40% of the forward FLOPs — never
+    runs). This is the coarse pass of fused hierarchical training: only
+    the compositing WEIGHTS are needed to drive ``sample_pdf``, and
+    weights are a function of sigma and z alone; the coarse LOSS is
+    computed by the fine kernel's dual composite (ops/fused_train.py).
+    The weight operand list is unchanged (texture weights unused).
 
     The ray->sample expansion (xyz = ro + vd*z) and the positional
     encoding both run in-kernel: every input and output keeps the
@@ -223,8 +291,9 @@ def _kernel(cfg: NetConfig, S: int,
     """
     import jax.nn as jnn
 
-    sig_out, r_out, g_out, b_out = refs[-4:]
-    it = iter(refs[:-4])
+    n_out = 1 if sigma_only else 4
+    out_refs = refs[-n_out:]
+    it = iter(refs[:-n_out])
     nxt = lambda: next(it)[...]
 
     P = _TILE_RAYS * S
@@ -264,6 +333,9 @@ def _kernel(cfg: NetConfig, S: int,
     sigma = jnn.softplus(
         jnp.sum(y.astype(f32) * w_sig[None, :], axis=-1) + b_sig[0]
     )  # (P,) f32
+    if sigma_only:
+        out_refs[0][...] = sigma.reshape(_TILE_RAYS, S)
+        return
 
     w, b = nxt(), nxt()  # enc_viewdir point-part (W, W)
     y = dot(y, w) + b
@@ -281,6 +353,7 @@ def _kernel(cfg: NetConfig, S: int,
 
     T = _TILE_RAYS
     rgb3 = rgb.reshape(T, S, 8)
+    sig_out, r_out, g_out, b_out = out_refs
     sig_out[...] = sigma.reshape(T, S)
     r_out[...] = rgb3[:, :, 0]
     g_out[...] = rgb3[:, :, 1]
@@ -364,11 +437,13 @@ def fused_codenerf_apply(
 
 
 def invoke_fwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
-               vcontrib, wb):
+               vcontrib, wb, sigma_only: bool = False):
     """Run the forward kernel on prepared operands (ro8/vd8: (R, 8) f32
     zero-padded ray origins/directions, z: (R, S) f32 depths; xyz expansion
     and PE happen in-kernel). Returns (sigma, r, g, b) planes, each (R, S)
-    f32. Shared with ops/fused_train.py."""
+    f32 — or just the sigma plane when ``sigma_only`` (the texture branch
+    never runs; coarse pass of fused hierarchical training). Shared with
+    ops/fused_train.py."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -398,16 +473,20 @@ def invoke_fwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
                      memory_space=pltpu.VMEM)
         for w in wb
     ]
-    out_specs = [tile_spec((T, S), lambda i: (i, 0))] * 4
-    out_shape = [jax.ShapeDtypeStruct((R, S), jnp.float32)] * 4
+    n_out = 1 if sigma_only else 4
+    out_specs = [tile_spec((T, S), lambda i: (i, 0))] * n_out
+    out_shape = [jax.ShapeDtypeStruct((R, S), jnp.float32)] * n_out
 
     P = T * S
-    flops_per_tile = 2 * P * cfg.W * (
-        64 + cfg.W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks)
-        + cfg.W // 2
-    )
-    return pl.pallas_call(
-        functools.partial(_kernel, cfg, S),
+    if sigma_only:
+        flops_per_tile = 2 * P * cfg.W * (64 + cfg.W * (cfg.shape_blocks + 1))
+    else:
+        flops_per_tile = 2 * P * cfg.W * (
+            64 + cfg.W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks)
+            + cfg.W // 2
+        )
+    outs = pl.pallas_call(
+        functools.partial(_kernel, cfg, S, sigma_only),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -420,3 +499,4 @@ def invoke_fwd(cfg: NetConfig, S: int, R: int, ro8, vd8, z, sproj, tproj,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FWD_VMEM_LIMIT_BYTES),
     )(ro8, vd8, z, sproj, tproj, vcontrib, *pe_ops, *wb)
+    return outs[0] if sigma_only else outs

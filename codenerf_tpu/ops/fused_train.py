@@ -104,6 +104,32 @@ def hier_fine_zvals(z2d: jnp.ndarray, w_coarse: jnp.ndarray,
     return union_sorted_zvals(z2d, z_fine)
 
 
+def hier_fine_zvals_meta(z2d: jnp.ndarray, w_coarse: jnp.ndarray,
+                         key_fine: jax.Array, n_importance: int):
+    """:func:`hier_fine_zvals` plus the union metadata the DUAL-composite
+    single-pass kernel consumes: ``(z_all, cmask, cdelta)``, all
+    (R, Sc+Sf) f32. ``cmask`` is 1.0 where the union entry came from the
+    coarse pass; ``cdelta`` carries the consecutive-COARSE deltas there
+    (terminal coarse delta 1e10, matching the reference composite's
+    ``src/utils.py:36``) and 0 at fine entries. One stable multi-operand
+    sort (core/sampling.merge_sorted_samples) produces the union and both
+    planes with the exact permutation ``union_sorted_zvals`` uses."""
+    from codenerf_tpu.core.sampling import merge_sorted_samples, sample_pdf
+
+    z_mid = 0.5 * (z2d[:, 1:] + z2d[:, :-1])
+    w_int = jax.lax.stop_gradient(w_coarse[:, 1:-1])
+    z_fine = sample_pdf(key_fine, z_mid, w_int, n_importance,
+                        deterministic=False)
+    cdelta = jnp.concatenate(
+        [z2d[:, 1:] - z2d[:, :-1], jnp.full_like(z2d[:, :1], 1e10)], axis=-1)
+    zeros_f = jnp.zeros_like(z_fine)
+    z_all, (cmask, cdelta_u) = merge_sorted_samples(
+        z2d, z_fine,
+        [jnp.ones_like(z2d), cdelta],
+        [zeros_f, zeros_f])
+    return z_all, cmask, cdelta_u
+
+
 def add_cotangent(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Sum two per-ray cotangent planes in f32 regardless of their (bf16)
     storage dtype — used to merge the coarse and fine kernel calls'
@@ -420,7 +446,7 @@ def _bwd_kernel(cfg: NetConfig, S: int, weight_grads: bool,
 
 def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
                   want_weights: bool, want_rgb: bool, weight_grads: bool,
-                  input_grads: bool, *refs):
+                  input_grads: bool, dual: bool, *refs):
     """SINGLE-PASS training kernel: forward + volume rendering + per-ray
     MSE cotangent + full backward in one grid step per ray tile.
 
@@ -455,6 +481,18 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
            weight_grads=False is the frozen-model (test-time codes/pose)
            variant: the dW/db chains and accumulator blocks vanish,
            2F total].
+
+    ``dual=True`` is the hierarchical UNION variant: z is the union-sorted
+    coarse+fine depths, and two extra (T, S) inputs follow gt8 — cmask
+    (1.0 at coarse positions) and cdelta (consecutive-coarse deltas there,
+    0 at fine positions). The kernel then computes the COARSE composite
+    too (``composite_fwd_masked_in_kernel``), writes its squared error
+    into se lanes 4..6 (fine stays in 0..2), and sums both composites'
+    sigma/rgb cotangents into the one backward chain — the exact gradient
+    of ``fine_mse + coarse_mse`` from a single MLP evaluation at the
+    union. The coarse pass upstream is then forward-only (sigma-only
+    kernel → XLA weights → sample_pdf): total hierarchical cost drops
+    from 3F@coarse + 3F@union to ~0.6F@coarse + 3F@union.
     """
     import jax.nn as jnn
     from jax.experimental import pallas as pl
@@ -468,11 +506,15 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
 
     (ro_ref, vd_ref, z_ref, sproj_ref, tproj_ref, vcontrib_ref,
      gt_ref) = refs[:7]
-    peA_ref, peid_ref, pesin_ref, pecos_ref = refs[7:11]
-    w_refs = refs[11:11 + 2 * k]
+    n_in = 7
+    if dual:
+        cmask_ref, cdelta_ref = refs[7:9]
+        n_in = 9
+    peA_ref, peid_ref, pesin_ref, pecos_ref = refs[n_in:n_in + 4]
+    w_refs = refs[n_in + 4:n_in + 4 + 2 * k]
     (se_ref, d_sproj_ref, d_tproj_ref, d_vcontrib_ref) = \
-        refs[11 + 2 * k:15 + 2 * k]
-    n_head = 15 + 2 * k
+        refs[n_in + 4 + 2 * k:n_in + 8 + 2 * k]
+    n_head = n_in + 8 + 2 * k
     if want_weights:
         weights_ref = refs[n_head]
         n_head += 1
@@ -526,10 +568,32 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     gt8 = gt_ref[...]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
     diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
-    se_ref[...] = diff * diff        # per-ray SE rows; summed by XLA
+    se8 = diff * diff                # per-ray SE rows; summed by XLA
     g8 = (2.0 * scale) * diff                           # d out8
     g_sigma, gc0, gc1, gc2, dz_comp = fused_mlp.composite_bwd_in_kernel(
         sigma, c0, c1, c2, z, g8, aux, white_bg)
+    if dual:
+        # Coarse composite over the masked subset of the same evaluation:
+        # its SE rides lanes 4..6 (fine keeps 0..2; a (T, 8) @ (8, 8)
+        # shift matmul moves it — Mosaic has no cheap lane roll), and its
+        # cotangents sum into the fine ones before the one backward chain.
+        cmask, cdelta = cmask_ref[...], cdelta_ref[...]
+        out8_c, aux_c = fused_mlp.composite_fwd_masked_in_kernel(
+            sigma, c0, c1, c2, z, cdelta, cmask, white_bg)
+        diff_c = jnp.where(lane8 < 3, out8_c - gt8, 0.0)
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+        shift4 = ((r8 + 4 == c8) & (r8 < 3)).astype(f32)
+        se8 = se8 + jax.lax.dot_general(
+            diff_c * diff_c, shift4, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        g8_c = (2.0 * scale) * diff_c
+        g_sigma_c, gc0_c, gc1_c, gc2_c = \
+            fused_mlp.composite_bwd_masked_in_kernel(
+                c0, c1, c2, z, cdelta, g8_c, aux_c, white_bg)
+        g_sigma = g_sigma + g_sigma_c
+        gc0, gc1, gc2 = gc0 + gc0_c, gc1 + gc1_c, gc2 + gc2_c
+    se_ref[...] = se8
 
     # ---------------- backward chain (stored activations — no recompute)
     lane = jax.lax.broadcasted_iota(jnp.int32, (T, S, 8), 2)
@@ -559,7 +623,8 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
                        scale: float, ro8, vd8, z, sproj, tproj, vcontrib,
                        gt8, wflat, want_weights: bool = False,
                        want_rgb: bool = False, weight_grads: bool = True,
-                       input_grads: bool = False):
+                       input_grads: bool = False,
+                       coarse_mask=None, coarse_delta=None):
     """Run the single-pass training kernel. Returns
     ``(se_sum () f32, d_sproj, d_tproj, d_vcontrib, [weights], [rgb8],
     [d_ro8, d_vd8, d_z], [dw_i/db_i f32...])`` where se_sum is Σ over
@@ -579,9 +644,27 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     FLOPs instead of 3F. ``input_grads=True`` additionally emits the
     exact ray/depth cotangents ``(d_ro8 (R,8), d_vd8 (R,8), d_z (R,S))``
     after the rgb plane — the POSE-optimization variant, whose gradient
-    flows through ray generation and the sampling bounds."""
+    flows through ray generation and the sampling bounds.
+
+    ``coarse_mask``/``coarse_delta`` (both (R, S) f32, together or not at
+    all) select the DUAL-composite hierarchical mode: z is the
+    union-sorted coarse+fine depths and the kernel also computes the
+    coarse loss from the same evaluation (see ``_train_kernel``). The
+    return gains a second element ``se_coarse`` after ``se`` and every
+    cotangent is that of ``scale·(se_fine + se_coarse)`` — the sum of
+    both losses' chains from one evaluation. Incompatible with
+    ``want_weights`` (the coarse weights were computed upstream by the
+    sigma-only forward) and ``input_grads`` (training never
+    differentiates depths; the masked composite emits no dz)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    dual = coarse_mask is not None
+    if dual != (coarse_delta is not None):
+        raise ValueError("coarse_mask and coarse_delta come together")
+    if dual and (want_weights or input_grads):
+        raise ValueError("dual-composite mode excludes want_weights and "
+                         "input_grads (training-only path)")
 
     T = _TRAIN_TILE_RAYS
     P = T * S
@@ -608,8 +691,12 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
         tile_spec((T, cfg.texture_blocks, W), lambda i: (i, 0, 0)),
         tile_spec((T, W), lambda i: (i, 0)),
         tile_spec((T, 8), lambda i: (i, 0)),                 # gt8
-    ] + [const_spec(c.shape) for c in pe_ops] \
-      + [const_spec(x.shape) for x in wops]
+    ]
+    if dual:
+        in_specs += [tile_spec((T, S), lambda i: (i, 0)),    # cmask
+                     tile_spec((T, S), lambda i: (i, 0))]    # cdelta
+    in_specs += [const_spec(c.shape) for c in pe_ops] \
+        + [const_spec(x.shape) for x in wops]
 
     out_shape = [
         jax.ShapeDtypeStruct((R, 8), f32),                          # se rows
@@ -648,10 +735,13 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
     flops_per_tile = (3 if weight_grads else 2) * 2 * P * W * (
         64 + W * (cfg.shape_blocks + 1 + 1 + cfg.texture_blocks) + W // 2
     )
+    operands = [ro8, vd8, z, sproj, tproj, vcontrib, gt8]
+    if dual:
+        operands += [coarse_mask, coarse_delta]
     outs = pl.pallas_call(
         functools.partial(_train_kernel, cfg, S, white_bg, scale,
                           want_weights, want_rgb, weight_grads,
-                          input_grads),
+                          input_grads, dual),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -663,7 +753,11 @@ def invoke_train_fused(cfg: NetConfig, S: int, R: int, white_bg: bool,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_BWD_VMEM_LIMIT_BYTES),
-    )(ro8, vd8, z, sproj, tproj, vcontrib, gt8, *pe_ops, *wops)
+    )(*operands, *pe_ops, *wops)
+    if dual:
+        se = jnp.sum(outs[0][:, :4])          # fine SE, lanes 0..2
+        se_c = jnp.sum(outs[0][:, 4:])        # coarse SE, lanes 4..6
+        return (se, se_c) + tuple(outs[1:])
     se = jnp.sum(outs[0])
     return (se,) + tuple(outs[1:])
 

@@ -230,8 +230,9 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
     # FLOPs vs the fwd+recompute-bwd op pair's 3F). One jax.vjp over the
     # per-ray code projections chains the kernel cotangents into the
     # exact codes gradient; progress renders ride the kernel's rgb rows
-    # (want_rgb). Hierarchical runs the same two-call structure as
-    # training (coarse emits the weights plane for sample_pdf).
+    # (want_rgb). Hierarchical runs the same structure as training: a
+    # sigma-only coarse forward (~0.6F) feeds sample_pdf, and the union
+    # kernel's DUAL composite computes both losses from one evaluation.
     if use_single_pass:
         from codenerf_tpu.ops import fused_mlp
         from codenerf_tpu.ops import fused_train as ft_mod
@@ -262,30 +263,37 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                     return sproj, tproj, vcontrib
 
                 (sproj, tproj, vcontrib), pvjp = jax.vjp(prologue, codes)
-                outs = ft_mod.invoke_train_fused(
-                    net_cfg, z2d.shape[1], chunk, rcfg.white_bg, scale,
-                    ro8, vd8, z2d, sproj, tproj, vcontrib, gt8, wflat,
-                    want_weights=hier, want_rgb=want_prog and not hier,
-                    weight_grads=False)
-                se_c, d_sproj, d_tproj, d_vcontrib = outs[:4]
                 rgb8 = None
                 if hier:
-                    w_coarse = outs[4]
-                    z_all = ft_mod.hier_fine_zvals(z2d, w_coarse, key_fine,
-                                                   rcfg.n_importance)
-                    outs_f = ft_mod.invoke_train_fused(
+                    # Coarse pass forward-only (sigma-only kernel: the
+                    # importance weights need sigma and z alone); the
+                    # coarse LOSS rides the union kernel's dual composite
+                    # — same recipe as fused hierarchical training.
+                    from codenerf_tpu.core.render import composite_weights
+
+                    wb = [w.astype(jnp.bfloat16) if w.ndim == 2 else w
+                          for w in wflat]
+                    sigma_c = fused_mlp.invoke_fwd(
+                        net_cfg, z2d.shape[1], chunk, ro8, vd8, z2d,
+                        sproj, tproj, vcontrib, wb, sigma_only=True)
+                    w_coarse = composite_weights(sigma_c, z2d)
+                    z_all, cmask, cdelta = ft_mod.hier_fine_zvals_meta(
+                        z2d, w_coarse, key_fine, rcfg.n_importance)
+                    outs = ft_mod.invoke_train_fused(
                         net_cfg, z_all.shape[1], chunk, rcfg.white_bg,
                         scale, ro8, vd8, z_all, sproj, tproj, vcontrib,
-                        gt8, wflat, want_rgb=want_prog,
-                        weight_grads=False)
-                    se_f = outs_f[0]
-                    d_sproj = ft_mod.add_cotangent(d_sproj, outs_f[1])
-                    d_tproj = ft_mod.add_cotangent(d_tproj, outs_f[2])
-                    d_vcontrib = ft_mod.add_cotangent(d_vcontrib, outs_f[3])
+                        gt8, wflat, want_rgb=want_prog, weight_grads=False,
+                        coarse_mask=cmask, coarse_delta=cdelta)
+                    se_f, se_c, d_sproj, d_tproj, d_vcontrib = outs[:5]
                     if want_prog:
-                        rgb8 = outs_f[4]
+                        rgb8 = outs[5]
                     fin, opt = se_f, se_f + se_c
                 else:
+                    outs = ft_mod.invoke_train_fused(
+                        net_cfg, z2d.shape[1], chunk, rcfg.white_bg, scale,
+                        ro8, vd8, z2d, sproj, tproj, vcontrib, gt8, wflat,
+                        want_rgb=want_prog, weight_grads=False)
+                    se_c, d_sproj, d_tproj, d_vcontrib = outs[:4]
                     if want_prog:
                         rgb8 = outs[4]
                     fin, opt = se_c, se_c

@@ -186,6 +186,11 @@ def optimize_pose_and_codes(
                 # The pose gradient flows through the z-midpoints of the
                 # importance sampler (the weights are stop_gradient'ed
                 # inside the helper) — vjp over the shared recipe.
+                # Pose keeps the TWO-CALL structure (unlike training /
+                # codes-opt, which use the dual-composite union kernel):
+                # input_grads needs the coarse composite's own d_z term
+                # routed through the union permutation, which the
+                # training-only dual mode deliberately does not emit.
                 z_all, zvjp = jax.vjp(
                     lambda z_: ft_mod.hier_fine_zvals(
                         z_, w_coarse, key_fine, rcfg.n_importance), z2d)

@@ -302,13 +302,18 @@ def build_train_step(
             trainables gradient — bitwise the same chaining autodiff
             would emit, without a second forward.
 
-            Hierarchical (n_importance > 0): the coarse kernel call also
-            emits the compositing weights plane; sample_pdf + union-sort
-            run in XLA (non-differentiated — the z chain is cut by
-            design), then a second single-pass call at the union sample
-            count computes the fine loss. The prologue is z-independent,
-            so both calls share ONE prologue/VJP with summed cotangents —
-            exactly the gradient of `fine_mse + coarse_mse + reg`."""
+            Hierarchical (n_importance > 0): the coarse pass is
+            FORWARD-ONLY — the sigma-only kernel (texture branch skipped,
+            ~0.6F) feeds XLA compositing weights into sample_pdf + the
+            union merge-sort (non-differentiated — the z chain is cut by
+            design) — and the single union-count kernel call computes
+            BOTH losses via its dual composite (fine over the union,
+            coarse over the cmask/cdelta subset of the same evaluation),
+            returning cotangents already summed. The prologue is
+            z-independent, so ONE prologue/VJP chains them — exactly the
+            gradient of `fine_mse + coarse_mse + reg` at ~0.6F@coarse +
+            3F@union total (the former two-call recipe paid 3F@coarse +
+            3F@union)."""
             ray_o, viewdir = pixel_rays(batch["uv"], batch["focal"],
                                         batch["c2w"], H, W)
             z2d, key_fine = coarse_zvals(rcfg, ray_o, viewdir, key,
@@ -333,67 +338,105 @@ def build_train_step(
             (sproj, tproj, vcontrib, wflat, reg), pro_vjp = jax.vjp(
                 prologue, trainables)
 
-            def make_kernel_call(want_weights):
-                n_ray_outs = 5 if want_weights else 4
+            def _shard_wrap(fn, n_ray_ins, out_specs_fn):
+                """shard_map a kernel-call closure over the batch axes."""
+                from jax.sharding import PartitionSpec as P
 
-                def kernel_call(ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
-                                *wflat):
+                from jax import shard_map as _shard_map
+
+                batch_axes = tuple(ax for ax in ("replica", "data")
+                                   if ax in mesh.axis_names)
+                n_w = len(wflat)
+                kw = dict(
+                    mesh=mesh,
+                    in_specs=(P(batch_axes),) * n_ray_ins + (P(),) * n_w,
+                    out_specs=out_specs_fn(P(batch_axes)),
+                )
+                try:
+                    return _shard_map(fn, check_vma=False, **kw)
+                except TypeError:
+                    return _shard_map(fn, check_rep=False, **kw)
+
+            def make_kernel_call(dual):
+                """The single-pass loss kernel; ``dual`` adds the
+                cmask/cdelta operands and the coarse-SE scalar output
+                (hierarchical union call)."""
+                n_scalars = 2 if dual else 1
+                n_ray_ins = 9 if dual else 7
+                n_ray_outs = 3  # d_sproj, d_tproj, d_vcontrib
+
+                def kernel_call(*args):
+                    ray_args, wflat_args = args[:n_ray_ins], args[n_ray_ins:]
+                    cmask = cdelta = None
+                    if dual:
+                        cmask, cdelta = ray_args[7:9]
+                    ro8, vd8, zz, sproj, tproj, vcontrib, gt8 = ray_args[:7]
                     outs = ft.invoke_train_fused(
-                        net_cfg, z2d.shape[1], z2d.shape[0], rcfg.white_bg,
-                        scale, ro8, vd8, z2d, sproj, tproj, vcontrib, gt8,
-                        list(wflat), want_weights=want_weights)
+                        net_cfg, zz.shape[1], zz.shape[0], rcfg.white_bg,
+                        scale, ro8, vd8, zz, sproj, tproj, vcontrib, gt8,
+                        list(wflat_args), coarse_mask=cmask,
+                        coarse_delta=cdelta)
                     if mesh is not None:
                         axes = tuple(ax for ax in ("replica", "data")
                                      if ax in mesh.axis_names)
-                        se = jax.lax.psum(outs[0], axes)
+                        ses = tuple(jax.lax.psum(s, axes)
+                                    for s in outs[:n_scalars])
                         dwb = [jax.lax.psum(x, axes)
-                               for x in outs[n_ray_outs:]]
-                        return ((se,) + tuple(outs[1:n_ray_outs])
+                               for x in outs[n_scalars + n_ray_outs:]]
+                        return (ses
+                                + tuple(outs[n_scalars:
+                                             n_scalars + n_ray_outs])
                                 + tuple(dwb))
                     return tuple(outs)
 
                 if mesh is not None:
-                    from jax.sharding import PartitionSpec as P
-
-                    from jax import shard_map as _shard_map
-
-                    batch_axes = tuple(ax for ax in ("replica", "data")
-                                       if ax in mesh.axis_names)
                     n_w = len(wflat)
-                    kw = dict(
-                        mesh=mesh,
-                        in_specs=(P(batch_axes),) * 7 + (P(),) * n_w,
-                        out_specs=(P(),)
-                        + (P(batch_axes),) * (n_ray_outs - 1)
-                        + (P(),) * n_w,
-                    )
-                    try:
-                        kernel_call = _shard_map(kernel_call,
-                                                 check_vma=False, **kw)
-                    except TypeError:
-                        kernel_call = _shard_map(kernel_call,
-                                                 check_rep=False, **kw)
+                    kernel_call = _shard_wrap(
+                        kernel_call, n_ray_ins,
+                        lambda pb: ((jax.sharding.PartitionSpec(),)
+                                    * n_scalars
+                                    + (pb,) * n_ray_outs
+                                    + (jax.sharding.PartitionSpec(),) * n_w))
                 return kernel_call
 
-            outs = make_kernel_call(hier)(ro8, vd8, z2d, sproj, tproj,
-                                          vcontrib, gt8, *wflat)
+            def make_sigma_call():
+                """Coarse FORWARD-ONLY pass: the sigma-only kernel (the
+                texture branch never runs — importance weights are a
+                function of sigma and z alone). No gradient work here:
+                the coarse LOSS is computed by the union kernel's dual
+                composite."""
+                def sigma_call(ro8, vd8, zz, sproj, tproj, vcontrib,
+                               *wflat_args):
+                    wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x
+                          for x in wflat_args]
+                    return fused_mlp.invoke_fwd(
+                        net_cfg, zz.shape[1], zz.shape[0], ro8, vd8, zz,
+                        sproj, tproj, vcontrib, wb, sigma_only=True)
+
+                if mesh is not None:
+                    sigma_call = _shard_wrap(sigma_call, 6, lambda pb: pb)
+                return sigma_call
+
             if not hier:
+                outs = make_kernel_call(False)(ro8, vd8, z2d, sproj, tproj,
+                                               vcontrib, gt8, *wflat)
                 se, d_sproj, d_tproj, d_vcontrib = outs[:4]
                 dwb = list(outs[4:])
                 mse = se * scale
                 coarse_mse = None
             else:
-                se_c, d_sproj, d_tproj, d_vcontrib, w_coarse = outs[:5]
+                from codenerf_tpu.core.render import composite_weights
+
+                sigma_c = make_sigma_call()(ro8, vd8, z2d, sproj, tproj,
+                                            vcontrib, *wflat)
+                w_coarse = composite_weights(sigma_c, z2d)
+                z_all, cmask, cdelta = ft.hier_fine_zvals_meta(
+                    z2d, w_coarse, key_fine, rcfg.n_importance)
+                outs = make_kernel_call(True)(
+                    ro8, vd8, z_all, sproj, tproj, vcontrib, gt8,
+                    cmask, cdelta, *wflat)
+                se_f, se_c, d_sproj, d_tproj, d_vcontrib = outs[:5]
                 dwb = list(outs[5:])
-                z_all = ft.hier_fine_zvals(z2d, w_coarse, key_fine,
-                                           rcfg.n_importance)
-                outs_f = make_kernel_call(False)(
-                    ro8, vd8, z_all, sproj, tproj, vcontrib, gt8, *wflat)
-                se_f = outs_f[0]
-                d_sproj = ft.add_cotangent(d_sproj, outs_f[1])
-                d_tproj = ft.add_cotangent(d_tproj, outs_f[2])
-                d_vcontrib = ft.add_cotangent(d_vcontrib, outs_f[3])
-                dwb = [a + b for a, b in zip(dwb, outs_f[4:])]
                 mse = se_f * scale
                 coarse_mse = se_c * scale
             (grads,) = pro_vjp((d_sproj, d_tproj, d_vcontrib, dwb,

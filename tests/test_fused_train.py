@@ -919,3 +919,140 @@ def test_fused_hierarchical_with_mesh_matches_single_device():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_masked_composite_matches_subset_composite():
+    """The masked composite (coarse subset of a union-sorted sample axis,
+    externally supplied coarse deltas, masked 1e-10 cumprod floor) must
+    reproduce compositing the coarse samples ALONE — forward outputs and
+    sigma/rgb cotangents both — with cotangents exactly zero at fine
+    positions. Pure jnp helpers, no pallas needed."""
+    from codenerf_tpu.core.render import composite
+    from codenerf_tpu.ops import fused_mlp
+
+    T, Sc, Sf = 4, 8, 5
+    S = Sc + Sf
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    z_c = jnp.sort(jax.random.uniform(ks[0], (T, Sc), jnp.float32, 0.3, 2.0), -1)
+    z_f = jax.random.uniform(ks[1], (T, Sf), jnp.float32, 0.3, 2.0)
+    # union-sort with a coarse flag + coarse-delta payloads (the production
+    # recipe in ops/fused_train.hier_fine_zvals_meta)
+    cdelta_c = jnp.concatenate(
+        [z_c[:, 1:] - z_c[:, :-1], jnp.full_like(z_c[:, :1], 1e10)], -1)
+    from codenerf_tpu.core.sampling import merge_sorted_samples
+
+    z_all, (cmask, cdelta) = merge_sorted_samples(
+        z_c, z_f, [jnp.ones_like(z_c), cdelta_c],
+        [jnp.zeros_like(z_f), jnp.zeros_like(z_f)])
+
+    sig = jax.random.uniform(ks[2], (T, S), jnp.float32, 0.0, 3.0)
+    c0 = jax.random.uniform(ks[3], (T, S))
+    c1 = jax.random.uniform(ks[4], (T, S))
+    c2 = jax.random.uniform(ks[5], (T, S))
+
+    out8, aux = fused_mlp.composite_fwd_masked_in_kernel(
+        sig, c0, c1, c2, z_all, cdelta, cmask, True)
+
+    # Reference: composite the coarse subset alone. Recover the subset by
+    # argsort of (1 - cmask) stable — coarse entries first, in order.
+    order = jnp.asarray(
+        np.argsort(1.0 - np.asarray(cmask), axis=-1, kind="stable")[:, :Sc])
+    take = lambda p: jnp.take_along_axis(p, order, axis=-1)
+    res = composite(take(sig), (take(c0), take(c1), take(c2)), take(z_all),
+                    white_bg=True)
+    np.testing.assert_allclose(np.asarray(out8[:, :3]), np.asarray(res.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out8[:, 3]), np.asarray(res.depth),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out8[:, 4]), np.asarray(res.acc),
+                               rtol=1e-5, atol=1e-6)
+
+    # Cotangents: against jax.grad of the subset composite's MSE.
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (T, 3), jnp.float32)
+    g8 = jnp.pad(2.0 * (out8[:, :3] - gt), ((0, 0), (0, 5)))
+    gsig, gc0, gc1, gc2 = fused_mlp.composite_bwd_masked_in_kernel(
+        c0, c1, c2, z_all, cdelta, g8, aux, True)
+    assert np.all(np.asarray(gsig)[np.asarray(cmask) == 0.0] == 0.0)
+    assert np.all(np.asarray(gc0)[np.asarray(cmask) == 0.0] == 0.0)
+
+    def ref_loss(args):
+        s, a, b, c = args
+        r = composite(take(s), (take(a), take(b), take(c)), take(z_all),
+                      white_bg=True)
+        return jnp.sum((r.rgb - gt) ** 2)
+
+    ref_g = jax.grad(ref_loss)((sig, c0, c1, c2))
+    # ref grads live on union positions already (take() is a gather whose
+    # vjp scatters back)
+    for got, want in zip((gsig, gc0, gc1, gc2), ref_g):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_sigma_only_fwd_matches_full():
+    """sigma_only=True on the forward kernel: bitwise the full kernel's
+    sigma plane (same matmul chain up to the sigma head)."""
+    from codenerf_tpu.ops import fused_mlp
+    from codenerf_tpu.ops import fused_train as ft
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, S = 64, 8
+    ro, vd, z, sc, tc, _, _ = _setup(cfg, R, S)
+    ro8, vd8, z_f, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+        params, cfg, ro, vd, z, sc, tc)
+    wb = [x.astype(jnp.bfloat16) if x.ndim == 2 else x
+          for x in ft.flatten_params_f32(params, cfg)]
+    full = fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z_f, sproj, tproj,
+                                vcontrib, wb)
+    sig_only = fused_mlp.invoke_fwd(cfg, S, R, ro8, vd8, z_f, sproj, tproj,
+                                    vcontrib, wb, sigma_only=True)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(sig_only))
+
+
+def test_dual_kernel_grads_match_two_call_recipe():
+    """The dual-composite union kernel's cotangents equal the SUM of the
+    former two-call recipe's (coarse single-pass at z_coarse + fine
+    single-pass at the union) for the same loss fine_mse + coarse_mse —
+    one MLP evaluation instead of two."""
+    from codenerf_tpu.core.sampling import merge_sorted_samples
+    from codenerf_tpu.ops import fused_mlp
+    from codenerf_tpu.ops import fused_train as ft
+
+    cfg = NetConfig(shape_blocks=2, texture_blocks=1)
+    params = init_codenerf(jax.random.PRNGKey(0), cfg)
+    R, Sc, Sf = 32, 8, 8
+    ro, vd, z_c, sc, tc, _, _ = _setup(cfg, R, Sc)
+    z_f = jax.random.uniform(jax.random.PRNGKey(11), (R, Sf), jnp.float32,
+                             0.3, 2.2)
+    cdelta_c = jnp.concatenate(
+        [z_c[:, 1:] - z_c[:, :-1], jnp.full_like(z_c[:, :1], 1e10)], -1)
+    z_all, (cmask, cdelta) = merge_sorted_samples(
+        z_c, z_f, [jnp.ones_like(z_c), cdelta_c],
+        [jnp.zeros_like(z_f), jnp.zeros_like(z_f)])
+
+    gt = jax.random.uniform(jax.random.PRNGKey(9), (R, 3), jnp.float32)
+    ro8, vd8, _, sproj, tproj, vcontrib = fused_mlp.prep_ray_operands(
+        params, cfg, ro, vd, z_c, sc, tc)
+    gt8 = fused_mlp._pad_lanes(gt, 8)
+    wflat = ft.flatten_params_f32(params, cfg)
+    scale = 1.0 / (R * 3)
+
+    dual = ft.invoke_train_fused(cfg, Sc + Sf, R, True, scale, ro8, vd8,
+                                 z_all, sproj, tproj, vcontrib, gt8, wflat,
+                                 coarse_mask=cmask, coarse_delta=cdelta)
+    se_f, se_c = dual[0], dual[1]
+
+    coarse = ft.invoke_train_fused(cfg, Sc, R, True, scale, ro8, vd8, z_c,
+                                   sproj, tproj, vcontrib, gt8, wflat)
+    fine = ft.invoke_train_fused(cfg, Sc + Sf, R, True, scale, ro8, vd8,
+                                 z_all, sproj, tproj, vcontrib, gt8, wflat)
+    np.testing.assert_allclose(float(se_c), float(coarse[0]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(se_f), float(fine[0]),
+                               rtol=1e-5, atol=1e-7)
+    for got, a, b in zip(dual[2:], coarse[1:], fine[1:]):
+        want = np.asarray(a, np.float32) + np.asarray(b, np.float32)
+        scale_ref = max(1e-3, float(np.abs(want).max()))
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   rtol=5e-3, atol=2e-3 * scale_ref)
