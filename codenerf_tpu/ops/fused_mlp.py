@@ -199,64 +199,94 @@ def composite_bwd_in_kernel(sig, c0, c1, c2, z, g8, aux, white_bg):
     return gsig, w * gr, w * gg, w * gb, dz
 
 
-def composite_fwd_masked_in_kernel(sig, c0, c1, c2, z, cdelta, cmask,
-                                   white_bg):
-    """Composite over the COARSE SUBSET of a union-sorted sample axis.
+def composite_fwd_dual_in_kernel(sig, c0, c1, c2, z, cdelta, cmask,
+                                 white_bg):
+    """FINE (full union) and COARSE (masked subset) composites in ONE set
+    of ROW-STACKED ops.
 
     The dual-composite hierarchical training kernel evaluates the MLP once
     at the union of coarse+fine depths and computes BOTH losses from that
-    one evaluation (ops/fused_train._train_kernel); this is the coarse
-    half. ``cdelta`` carries the consecutive-COARSE deltas at coarse
-    positions (terminal coarse delta 1e10, reference ``src/utils.py:36``)
-    and 0 at fine positions; ``cmask`` is 1.0 at coarse positions. Fine
-    positions then get alpha = 1 - exp(0) = 0 and a cumprod factor of
-    EXACTLY 1.0 (the reference's 1e-10 floor is masked to coarse entries),
-    so they contribute nothing — the result equals compositing the coarse
-    samples alone, up to f32 summation grouping in the (S, S) matmuls.
-    All inputs (T, S) f32; returns ``(out8 (T, 8), aux)`` like
-    :func:`composite_fwd_in_kernel`."""
+    one evaluation (ops/fused_train._train_kernel). Matmul rows and
+    elementwise lanes are independent, so stacking the two composites'
+    operand planes along the ray axis — ``[fine; coarse]`` (2T, S) — gives
+    each half bitwise the result of running it alone while paying ONE op
+    sequence instead of two. That matters because the in-tile composite is
+    Mosaic-serialization-bound, not FLOPs-bound: a separate masked
+    composite measured +19.2 ms/step at 16K rays x 128, nearly cancelling
+    the 18.9 ms the dual recipe saves upstream.
+
+    Fine rows use consecutive-union deltas computed from ``z`` (terminal
+    1e10) and the reference's unconditional 1e-10 cumprod floor — exactly
+    :func:`composite_fwd_in_kernel`. Coarse rows use ``cdelta``
+    (consecutive-COARSE deltas at coarse positions, terminal coarse delta
+    1e10 per reference ``src/utils.py:36``, 0 at fine positions) and a
+    floor masked to ``cmask`` (1.0 at coarse positions): fine positions
+    get alpha = 1 - exp(0) = 0 and a cumprod factor of EXACTLY 1.0, so
+    they contribute nothing — the coarse half equals compositing the
+    coarse samples alone, up to f32 summation grouping in the (S, S)
+    matmuls.
+
+    All inputs (T, S) f32; returns ``(out8_fine (T, 8), out8_coarse
+    (T, 8), aux)``."""
     T, S = z.shape
     f32 = jnp.float32
     row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
     M = (row < col).astype(f32)        # L @ M = exclusive cumsum of L
+    Sh = (row == col + 1).astype(f32)  # z @ Sh = z shifted left (z_{i+1})
+    lane = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
 
-    e = jnp.exp(-sig * cdelta)         # = 1 - alpha; exactly 1 at fine pos
+    z_next = _dotf(z, Sh)
+    delta_f = jnp.where(lane < S - 1, z_next - z, 1e10)
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    delta2 = cat(delta_f, cdelta)                       # (2T, S)
+    floor2 = cat(jnp.ones_like(cmask), cmask)
+    sig2, z2 = cat(sig, sig), cat(z, z)
+    c02, c12, c22 = cat(c0, c0), cat(c1, c1), cat(c2, c2)
+
+    e = jnp.exp(-sig2 * delta2)        # = 1 - alpha
     a = 1.0 - e
-    u = e + 1e-10 * cmask              # cumprod operand; exactly 1 at fine
+    u = e + 1e-10 * floor2             # cumprod operand
     Tacc = jnp.exp(_dotf(jnp.log(u), M))
-    w = a * Tacc                       # 0 at fine positions
+    w = a * Tacc                       # coarse rows: 0 at fine positions
 
     colsel = jax.lax.broadcasted_iota(jnp.int32, (S, 8), 1)
     E = lambda k: (colsel == k).astype(f32)
-    out8 = (_dotf(w * c0, E(0)) + _dotf(w * c1, E(1)) + _dotf(w * c2, E(2))
-            + _dotf(w * z, E(3)) + _dotf(w, E(4)))
+    out8 = (_dotf(w * c02, E(0)) + _dotf(w * c12, E(1))
+            + _dotf(w * c22, E(2)) + _dotf(w * z2, E(3)) + _dotf(w, E(4)))
     if white_bg:
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (2 * T, 8), 1)
         ones3 = jnp.where(lane8 < 3, 1.0, 0.0)
         acc3 = _dotf(w, E(0) + E(1) + E(2))
         out8 = out8 + ones3 - acc3
-    aux = (e, u, Tacc, w, M)
-    return out8, aux
+    aux = (delta2, e, u, Tacc, w, M)
+    return out8[:T], out8[T:], aux
 
 
-def composite_bwd_masked_in_kernel(c0, c1, c2, z, cdelta, g8, aux,
-                                   white_bg):
-    """Backward of :func:`composite_fwd_masked_in_kernel` given the
-    per-ray cotangent ``g8 (T, 8)``. Returns ``(gsig, gc0, gc1, gc2)`` —
-    (T, S) f32 cotangents on the union planes, EXACTLY zero at fine
-    positions (gsig carries a ``* cdelta`` factor, the gc's a ``* w``
-    factor). No dz: the dual-composite mode is training-only, and a
-    training step never differentiates through depths."""
-    e, u, Tacc, w, M = aux
-    gr, gg, gb = g8[:, 0:1], g8[:, 1:2], g8[:, 2:3]   # (T, 1)
+def composite_bwd_dual_in_kernel(c0, c1, c2, z, g8f, g8c, aux, white_bg):
+    """Backward of :func:`composite_fwd_dual_in_kernel` given the fine and
+    coarse per-ray cotangents ``g8f``/``g8c`` (T, 8). Returns ``(gsig,
+    gc0, gc1, gc2)`` — the (T, S) f32 SUMS of both composites' cotangents
+    on the union planes (the dual kernel's backward chain consumes exactly
+    that sum). Row-stacked like the forward: one op sequence serves both
+    halves, each bitwise its standalone result before the final add. No
+    dz: the dual mode is training-only, and a training step never
+    differentiates through depths."""
+    delta2, e, u, Tacc, w, M = aux
+    T = z.shape[0]
+    cat = lambda x, y: jnp.concatenate([x, y], axis=0)
+    g8 = cat(g8f, g8c)                                # (2T, 8)
+    gr, gg, gb = g8[:, 0:1], g8[:, 1:2], g8[:, 2:3]   # (2T, 1)
     gd, ga = g8[:, 3:4], g8[:, 4:5]
     resid = ga - (gr + gg + gb if white_bg else 0.0)  # white bg: d acc
-    dw = gr * c0 + gg * c1 + gb * c2 + gd * z + resid
+    dw = (gr * cat(c0, c0) + gg * cat(c1, c1) + gb * cat(c2, c2)
+          + gd * cat(z, z) + resid)
     dL = _dotf_t(w * dw, M)
-    dx = e * (Tacc * dw - dL / u)      # x = sig * cdelta
-    gsig = dx * cdelta
-    return gsig, w * gr, w * gg, w * gb
+    dx = e * (Tacc * dw - dL / u)      # x = sig2 * delta2
+    gsig = dx * delta2
+    gc0, gc1, gc2 = w * gr, w * gg, w * gb
+    half = lambda x: x[:T] + x[T:]
+    return half(gsig), half(gc0), half(gc1), half(gc2)
 
 
 def _kernel(cfg: NetConfig, S: int, sigma_only: bool,

@@ -486,7 +486,7 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     coarse+fine depths, and two extra (T, S) inputs follow gt8 — cmask
     (1.0 at coarse positions) and cdelta (consecutive-coarse deltas there,
     0 at fine positions). The kernel then computes the COARSE composite
-    too (``composite_fwd_masked_in_kernel``), writes its squared error
+    too (``composite_fwd_dual_in_kernel``), writes its squared error
     into se lanes 4..6 (fine stays in 0..2), and sums both composites'
     sigma/rgb cotangents into the one backward chain — the exact gradient
     of ``fine_mse + coarse_mse`` from a single MLP evaluation at the
@@ -559,40 +559,47 @@ def _train_kernel(cfg: NetConfig, S: int, white_bg: bool, scale: float,
     # doubling via pltpu.roll) was measured 18 ms/step SLOWER — the ~20
     # lane rotates each pay a relayout; the small matmuls, despite padding
     # 16 rows to the MXU's 128, cost only ~4 ms over the fat-tile kernel.
-    out8, aux = fused_mlp.composite_fwd_in_kernel(
-        sigma, c0, c1, c2, z, white_bg)
-    if want_weights:
-        weights_ref[...] = aux[4]        # w = alpha * T, (T, S) f32
-    if want_rgb:
-        rgb_ref[...] = out8
     gt8 = gt_ref[...]
     lane8 = jax.lax.broadcasted_iota(jnp.int32, (T, 8), 1)
-    diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)        # (T, 8)
-    se8 = diff * diff                # per-ray SE rows; summed by XLA
-    g8 = (2.0 * scale) * diff                           # d out8
-    g_sigma, gc0, gc1, gc2, dz_comp = fused_mlp.composite_bwd_in_kernel(
-        sigma, c0, c1, c2, z, g8, aux, white_bg)
     if dual:
-        # Coarse composite over the masked subset of the same evaluation:
-        # its SE rides lanes 4..6 (fine keeps 0..2; a (T, 8) @ (8, 8)
-        # shift matmul moves it — Mosaic has no cheap lane roll), and its
-        # cotangents sum into the fine ones before the one backward chain.
+        # Both composites from the one evaluation, ROW-STACKED into a
+        # single op sequence (a separate masked composite measured
+        # +19.2 ms/step — serialization-bound, see fused_mlp). Coarse SE
+        # rides lanes 4..6 (fine keeps 0..2; a (T, 8) @ (8, 8) shift
+        # matmul moves it — Mosaic has no cheap lane roll), and the
+        # backward helper returns the two composites' cotangents already
+        # summed for the one backward chain.
         cmask, cdelta = cmask_ref[...], cdelta_ref[...]
-        out8_c, aux_c = fused_mlp.composite_fwd_masked_in_kernel(
+        out8, out8_c, aux = fused_mlp.composite_fwd_dual_in_kernel(
             sigma, c0, c1, c2, z, cdelta, cmask, white_bg)
+        if want_rgb:
+            rgb_ref[...] = out8
+        diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)    # (T, 8)
         diff_c = jnp.where(lane8 < 3, out8_c - gt8, 0.0)
         r8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
         c8 = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
         shift4 = ((r8 + 4 == c8) & (r8 < 3)).astype(f32)
-        se8 = se8 + jax.lax.dot_general(
+        se8 = diff * diff + jax.lax.dot_general(
             diff_c * diff_c, shift4, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)
+        g8 = (2.0 * scale) * diff
         g8_c = (2.0 * scale) * diff_c
-        g_sigma_c, gc0_c, gc1_c, gc2_c = \
-            fused_mlp.composite_bwd_masked_in_kernel(
-                c0, c1, c2, z, cdelta, g8_c, aux_c, white_bg)
-        g_sigma = g_sigma + g_sigma_c
-        gc0, gc1, gc2 = gc0 + gc0_c, gc1 + gc1_c, gc2 + gc2_c
+        g_sigma, gc0, gc1, gc2 = fused_mlp.composite_bwd_dual_in_kernel(
+            c0, c1, c2, z, g8, g8_c, aux, white_bg)
+        dz_comp = None                   # training-only mode: no d(z)
+    else:
+        out8, aux = fused_mlp.composite_fwd_in_kernel(
+            sigma, c0, c1, c2, z, white_bg)
+        if want_weights:
+            weights_ref[...] = aux[4]    # w = alpha * T, (T, S) f32
+        if want_rgb:
+            rgb_ref[...] = out8
+        diff = jnp.where(lane8 < 3, out8 - gt8, 0.0)    # (T, 8)
+        se8 = diff * diff            # per-ray SE rows; summed by XLA
+        g8 = (2.0 * scale) * diff                       # d out8
+        g_sigma, gc0, gc1, gc2, dz_comp = \
+            fused_mlp.composite_bwd_in_kernel(
+                sigma, c0, c1, c2, z, g8, aux, white_bg)
     se_ref[...] = se8
 
     # ---------------- backward chain (stored activations — no recompute)

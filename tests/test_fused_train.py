@@ -921,12 +921,14 @@ def test_fused_hierarchical_with_mesh_matches_single_device():
                                    rtol=2e-3, atol=1e-5)
 
 
-def test_masked_composite_matches_subset_composite():
-    """The masked composite (coarse subset of a union-sorted sample axis,
-    externally supplied coarse deltas, masked 1e-10 cumprod floor) must
-    reproduce compositing the coarse samples ALONE — forward outputs and
-    sigma/rgb cotangents both — with cotangents exactly zero at fine
-    positions. Pure jnp helpers, no pallas needed."""
+def test_dual_composite_matches_subset_and_plain():
+    """The row-stacked dual composite's COARSE half (coarse subset of a
+    union-sorted sample axis, externally supplied coarse deltas, masked
+    1e-10 cumprod floor) must reproduce compositing the coarse samples
+    ALONE — forward outputs and sigma/rgb cotangents both — with coarse
+    cotangent contributions exactly zero at fine positions; its FINE half
+    must be bitwise the plain composite over the union. Pure jnp helpers,
+    no pallas needed."""
     from codenerf_tpu.core.render import composite
     from codenerf_tpu.ops import fused_mlp
 
@@ -950,28 +952,35 @@ def test_masked_composite_matches_subset_composite():
     c1 = jax.random.uniform(ks[4], (T, S))
     c2 = jax.random.uniform(ks[5], (T, S))
 
-    out8, aux = fused_mlp.composite_fwd_masked_in_kernel(
+    out8_f, out8_c, aux = fused_mlp.composite_fwd_dual_in_kernel(
         sig, c0, c1, c2, z_all, cdelta, cmask, True)
 
-    # Reference: composite the coarse subset alone. Recover the subset by
-    # argsort of (1 - cmask) stable — coarse entries first, in order.
+    # FINE half: bitwise the plain composite over the union.
+    out8_plain, aux_plain = fused_mlp.composite_fwd_in_kernel(
+        sig, c0, c1, c2, z_all, True)
+    np.testing.assert_array_equal(np.asarray(out8_f), np.asarray(out8_plain))
+
+    # COARSE half: composite the coarse subset alone. Recover the subset
+    # by argsort of (1 - cmask) stable — coarse entries first, in order.
     order = jnp.asarray(
         np.argsort(1.0 - np.asarray(cmask), axis=-1, kind="stable")[:, :Sc])
     take = lambda p: jnp.take_along_axis(p, order, axis=-1)
     res = composite(take(sig), (take(c0), take(c1), take(c2)), take(z_all),
                     white_bg=True)
-    np.testing.assert_allclose(np.asarray(out8[:, :3]), np.asarray(res.rgb),
+    np.testing.assert_allclose(np.asarray(out8_c[:, :3]), np.asarray(res.rgb),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out8[:, 3]), np.asarray(res.depth),
+    np.testing.assert_allclose(np.asarray(out8_c[:, 3]), np.asarray(res.depth),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out8[:, 4]), np.asarray(res.acc),
+    np.testing.assert_allclose(np.asarray(out8_c[:, 4]), np.asarray(res.acc),
                                rtol=1e-5, atol=1e-6)
 
-    # Cotangents: against jax.grad of the subset composite's MSE.
+    # Coarse cotangents: zero the fine cotangent — the dual backward then
+    # returns the coarse contributions alone; check against jax.grad of
+    # the subset composite's MSE, and exact zeros at fine positions.
     gt = jax.random.uniform(jax.random.PRNGKey(9), (T, 3), jnp.float32)
-    g8 = jnp.pad(2.0 * (out8[:, :3] - gt), ((0, 0), (0, 5)))
-    gsig, gc0, gc1, gc2 = fused_mlp.composite_bwd_masked_in_kernel(
-        c0, c1, c2, z_all, cdelta, g8, aux, True)
+    g8c = jnp.pad(2.0 * (out8_c[:, :3] - gt), ((0, 0), (0, 5)))
+    gsig, gc0, gc1, gc2 = fused_mlp.composite_bwd_dual_in_kernel(
+        c0, c1, c2, z_all, jnp.zeros_like(g8c), g8c, aux, True)
     assert np.all(np.asarray(gsig)[np.asarray(cmask) == 0.0] == 0.0)
     assert np.all(np.asarray(gc0)[np.asarray(cmask) == 0.0] == 0.0)
 
@@ -987,6 +996,23 @@ def test_masked_composite_matches_subset_composite():
     for got, want in zip((gsig, gc0, gc1, gc2), ref_g):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-6)
+
+    # Fine cotangents: zero the coarse cotangent — bitwise the plain
+    # backward's sigma/rgb cotangents over the union.
+    g8f = jnp.pad(2.0 * (out8_f[:, :3] - gt), ((0, 0), (0, 5)))
+    got_f = fused_mlp.composite_bwd_dual_in_kernel(
+        c0, c1, c2, z_all, g8f, jnp.zeros_like(g8f), aux, True)
+    want_f = fused_mlp.composite_bwd_in_kernel(
+        sig, c0, c1, c2, z_all, g8f, aux_plain, True)[:4]
+    for got, want in zip(got_f, want_f):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # Both cotangents live: the dual backward is the SUM of the halves.
+    got_sum = fused_mlp.composite_bwd_dual_in_kernel(
+        c0, c1, c2, z_all, g8f, g8c, aux, True)
+    for got, a, b in zip(got_sum, got_f, (gsig, gc0, gc1, gc2)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(a + b),
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_sigma_only_fwd_matches_full():
