@@ -261,11 +261,14 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
 
     # ---- hierarchical coarse+fine (BASELINE config #2:
     # srncar_hierarchical.json — 64 coarse + 64 fine, shared weights).
-    # Train runs TWO single-pass loss-kernel calls sharing one prologue
-    # VJP (the coarse call emits the weights plane that drives
-    # sample_pdf); eval renders coarse+fine through the XLA path, which
-    # evaluates the MLP only at the 64 NEW fine samples and merge-sorts
-    # the cached coarse outputs into the union (renderer.render_rays).
+    # Train runs a sigma-only coarse FORWARD (~0.6F) to drive sample_pdf,
+    # then ONE single-pass loss-kernel call at the union count whose
+    # row-stacked dual composite computes BOTH losses from its one MLP
+    # evaluation (fine over the union, coarse over the cmask/cdelta
+    # subset); one shared prologue VJP chains the summed cotangents.
+    # Eval renders coarse+fine through the XLA path, which evaluates the
+    # MLP only at the 64 NEW fine samples and merge-sorts the cached
+    # coarse outputs into the union (renderer.render_rays).
     rcfg_h = dataclasses.replace(hp.render, n_samples=64, n_importance=64)
     hp_h = dataclasses.replace(hp, render=rcfg_h, use_fused_train=True)
     state_h = create_train_state(jax.random.PRNGKey(0), hp_h,
