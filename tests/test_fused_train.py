@@ -826,6 +826,49 @@ def test_fused_hierarchical_training_step(composite):
     assert losses_f[-1] < losses_f[0]
 
 
+def test_fused_hierarchical_with_occupancy_grid():
+    """Hierarchical sampling composed with the training occupancy grid
+    (jsonfiles/srncar_hier_occ.json): the grid tightens the coarse
+    window via coarse_zvals, sample_pdf then concentrates the fine
+    samples inside it. All three kernel routes — the fused dual-composite
+    single-pass path, the plane op under autodiff, and plain XLA — must
+    accept the grid as the third step input and track the same loss
+    trajectory on it."""
+    import dataclasses
+
+    from codenerf_tpu.config import TrainOccupancyConfig
+    from codenerf_tpu.core.occupancy import OccupancyGrid
+
+    def hp_for(use_fused, composite):
+        hp = _fused_hparams(use_fused=use_fused, fused_composite=composite)
+        return dataclasses.replace(
+            hp,
+            render=dataclasses.replace(hp.render, n_importance=8,
+                                       bound_sphere_radius=1.3,
+                                       occ_probes=16),
+            train_occupancy=TrainOccupancyConfig(grid_size=8),
+        )
+
+    occ = jnp.zeros((8, 8, 8), bool).at[:, :, :4].set(True)
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.3, jnp.float32))
+
+    trajectories = []
+    for use_fused, composite in ((True, True), (True, False), (False, True)):
+        hp = hp_for(use_fused, composite)
+        state, step_fn, pipe = _step_setup(hp, batch_rays=32)
+        jit_step = jax.jit(step_fn)
+        batch = pipe.sample(32)
+        losses = []
+        for _ in range(3):
+            state, m = jit_step(state, batch, grid)
+            losses.append(float(m["loss"]))
+        assert all(np.isfinite(losses))
+        trajectories.append(losses)
+    np.testing.assert_allclose(trajectories[0], trajectories[1], rtol=0.02)
+    np.testing.assert_allclose(trajectories[0], trajectories[2], rtol=0.02)
+    assert trajectories[0][-1] < trajectories[0][0]
+
+
 def test_train_kernel_weights_plane_matches_composite():
     """want_weights=True on the single-pass kernel: the emitted (R, S)
     weights plane must match XLA compositing of the same bf16 forward
