@@ -167,41 +167,52 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     # ---- sustained production trainer (informational): the REAL training
     # loop — Trainer with host pipeline, compact index batches (15 B/ray),
     # prefetch-worker device staging, occupancy lookup + refreshes — at
-    # srncar_occ.json semantics. This is what a long run actually sustains
-    # (round-3 soak: 642K rays/s), vs the batch-resident step lane above.
-    # Occupancy warmup is shortened so the post-warmup (grid-active) regime
-    # is what gets timed; the timed 500-step window includes one occupancy
-    # refresh, matching the production update_every=500 duty cycle.
+    # srncar_occ.json (48-sample) and srncar_occ32.json (32-sample)
+    # semantics. This is what a long run actually sustains (round-3
+    # soaks: 642K / ~735K rays/s), vs the batch-resident step lane above.
+    # Occupancy warmup is shortened so the post-warmup (grid-active)
+    # regime is what gets timed.
     import tempfile
 
     from codenerf_tpu.config import TrainOccupancyConfig
     from codenerf_tpu.training.trainer import Trainer
 
-    hp_s = dataclasses.replace(
-        hp_b, train_occupancy=TrainOccupancyConfig(warmup=50,
-                                                   update_every=500))
-    tr = Trainer("bench_sustained", hp_s, batch_size=batch, dataset=scene,
-                 exps_root=tempfile.mkdtemp(prefix="bench_sustained_"),
-                 check_iter=0)
-    # Warm EVERY executable the timed window will hit: the train step
-    # (150 steps; also warms the Orbax checkpoint writer via the
-    # end-of-training save), then both occupancy executables explicitly —
-    # the first in-loop refresh only happens at step 500, so without this
-    # their compiles would land INSIDE the timed window (the scanned
-    # decay=1.0 rebuild and the incremental update are separate jit
-    # specializations). The timed window is then 1000 steps (150->1150)
-    # containing the two incremental refreshes at steps 500 and 1000 —
-    # the production update_every=500 duty cycle. (A live in-process grid
-    # is not re-rebuilt at the window start: trainer gates the resume
-    # rebuild on _occ_seeded.)
-    tr.training(iters_crop=0, iters_all=150, log_every=100_000)
-    tr._rebuild_occupancy()
-    tr._update_occupancy()
-    sync(tr._occ.occ)
-    t0 = time.perf_counter()
-    tr.training(iters_crop=0, iters_all=1150, log_every=100_000)
-    train_sustained_rays_per_sec = (1000 * batch) / (
-        time.perf_counter() - t0)
+    def sustained_lane(n_samples: int) -> float:
+        # Warm EVERY executable the timed window will hit: the train step
+        # (150 steps; also warms the Orbax checkpoint writer via the
+        # end-of-training save), then both occupancy executables
+        # explicitly — the first in-loop refresh only happens at step 500,
+        # so without this their compiles would land INSIDE the timed
+        # window (the scanned decay=1.0 rebuild and the incremental update
+        # are separate jit specializations). The timed window is then 1000
+        # steps (150->1150) containing the two incremental refreshes at
+        # steps 500 and 1000 — the production update_every=500 duty cycle.
+        # (A live in-process grid is not re-rebuilt at the window start:
+        # trainer gates the resume rebuild on _occ_seeded.)
+        hp_s = dataclasses.replace(
+            hp_b,
+            render=dataclasses.replace(hp_b.render, n_samples=n_samples),
+            train_occupancy=TrainOccupancyConfig(warmup=50,
+                                                 update_every=500))
+        tr = Trainer(f"bench_sustained_{n_samples}", hp_s, batch_size=batch,
+                     dataset=scene,
+                     exps_root=tempfile.mkdtemp(prefix="bench_sustained_"),
+                     check_iter=0)
+        tr.training(iters_crop=0, iters_all=150, log_every=100_000)
+        tr._rebuild_occupancy()
+        tr._update_occupancy()
+        sync(tr._occ.occ)
+        t0 = time.perf_counter()
+        tr.training(iters_crop=0, iters_all=1150, log_every=100_000)
+        return (1000 * batch) / (time.perf_counter() - t0)
+
+    # occ-48 = srncar_occ.json semantics (the conservative default; kept
+    # for cross-round comparability); occ-32 = srncar_occ32.json, the
+    # throughput-optimal production config — 3-seed quality identical to
+    # occ-48 (27.26 vs 27.26 dB held-out, better SSIM) and 30K-step
+    # soak-proven (docs/QUALITY_SYNTHETIC.md).
+    train_sustained_rays_per_sec = sustained_lane(48)
+    train_sustained32_rays_per_sec = sustained_lane(32)
 
     # ---- efficient-render mode (informational): sphere-bounded sampling at
     # a 32-sample budget — measured to match full-budget quality on
@@ -354,12 +365,12 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
     combined = (train_rays + render_rays_total) / (train_time + render_time)
     # Production-config combined (informational): same train+render
     # arithmetic as the headline, but on the config a production user
-    # would run — sustained Trainer at srncar_occ.json semantics +
+    # would run — sustained Trainer at srncar_occ32.json semantics +
     # bounded-32 rendering, both measured above and both at
     # statistically-equal quality to the flagship 96-sample config
-    # (3-seed matrix, docs/QUALITY_SYNTHETIC.md). Equal ray counts per
-    # phase -> the combined rate is the harmonic mean.
-    production_combined = 2.0 / (1.0 / train_sustained_rays_per_sec
+    # (3-seed matrix + 30K-step soak, docs/QUALITY_SYNTHETIC.md). Equal
+    # ray counts per phase -> the combined rate is the harmonic mean.
+    production_combined = 2.0 / (1.0 / train_sustained32_rays_per_sec
                                  + 1.0 / eff_rays_per_sec)
     return {
         "rays_per_sec_production_combined": production_combined,
@@ -370,6 +381,7 @@ def _bench(n_train_steps: int = 30, n_render_steps: int = 30,
         "rays_per_sec_render_bounded32": eff_rays_per_sec,
         "rays_per_sec_train_bounded48": train_bounded_rays_per_sec,
         "rays_per_sec_train_sustained": train_sustained_rays_per_sec,
+        "rays_per_sec_train_sustained_occ32": train_sustained32_rays_per_sec,
         "rays_per_sec_codes_opt": codesopt_rays_per_sec,
         "rays_per_sec_train_hier": hier_train_rays_per_sec,
         "rays_per_sec_train_hier_occ": hier_occ_train_rays_per_sec,
@@ -414,6 +426,8 @@ def main() -> None:
                 r["rays_per_sec_train_bounded48"], 1),
             "train_sustained_rays_per_sec": round(
                 r["rays_per_sec_train_sustained"], 1),
+            "train_sustained_occ32_rays_per_sec": round(
+                r["rays_per_sec_train_sustained_occ32"], 1),
             "production_combined_rays_per_sec": round(
                 r["rays_per_sec_production_combined"], 1),
             "codes_opt_rays_per_sec": round(

@@ -236,6 +236,14 @@ def ray_grid_bounds(
     # contiguous row gather — and select the z cell with a one-hot
     # multiply-reduce, all vectorized: 3.8 ms for the same result, and the
     # probe count is the knob for the rest (RenderConfig.occ_probes).
+    # Measured rejection (round 3): bit-packing the z-columns into G/32
+    # uint32 words (16x fewer gathered bytes) is NOT faster — 2.14 vs
+    # 2.11 ms at 16K x 32 probes — because the row gather is
+    # latency-bound per gathered ROW, not bandwidth-bound (the probe
+    # arithmetic around it costs only ~0.1 ms; the gather is ~1.7). A
+    # one-hot MXU matmul against the (G^2, G) table would cost ~274
+    # GFLOP at this shape — no better. The lookup is at its practical
+    # floor; sample-budget and probe-count are the remaining knobs.
     G = grid.occ.shape[0]
     idx, inside = _cell_index(grid, pts)                        # (R, M, 3)
     rows = idx[..., 0] * G + idx[..., 1]                        # (R, M)

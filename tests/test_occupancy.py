@@ -79,6 +79,46 @@ def test_ray_grid_bounds_brackets_occupied_span():
     assert float(m1[0]) - float(m0[0]) < 0.01
 
 
+def test_ray_grid_bounds_matches_pointwise_lookup():
+    """At the production grid size (G=64) the z-column-gather probe
+    occupancy must equal the per-point ``occupancy_at`` semantics, and the
+    interval math must match a transcription of the documented formulas.
+    Guards any future lookup reformulation (a bit-packed variant was
+    measured and rejected in round 3 — see ray_grid_bounds docstring)."""
+    G, R, M = 64, 257, 32
+    rng = np.random.default_rng(3)
+    occ = jnp.asarray(rng.random((G, G, G)) < 0.02)
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.3, jnp.float32))
+    vd = rng.normal(size=(R, 3))
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True),
+                     jnp.float32)
+    ro = jnp.asarray(-2.5 * np.asarray(vd), jnp.float32)
+    t0 = jnp.asarray(rng.uniform(0.5, 1.2, R), jnp.float32)
+    t1 = jnp.asarray(rng.uniform(3.0, 4.5, R), jnp.float32)
+
+    n0, n1 = ray_grid_bounds(grid, ro, vd, t0, t1, n_probes=M)
+
+    # expected probe occupancy via the tested per-point lookup
+    frac = jnp.linspace(0.0, 1.0, M, dtype=jnp.float32)
+    ts = t0[:, None] + frac[None, :] * (t1 - t0)[:, None]
+    pts = ro[:, None, :] + vd[:, None, :] * ts[..., None]
+    occ_pm = np.asarray(occupancy_at(grid, pts))
+    assert occ_pm.any() and not occ_pm.all()  # both branches exercised
+
+    hit = occ_pm.any(axis=-1)
+    first = occ_pm.argmax(axis=-1)
+    last = (M - 1) - occ_pm[:, ::-1].argmax(axis=-1)
+    ts_np = np.asarray(ts)
+    h = np.asarray((t1 - t0)) / (M - 1.0)
+    t_lo = np.clip(ts_np[np.arange(R), first] - h, t0, t1)
+    t_hi = np.clip(ts_np[np.arange(R), last] + h, t0, t1)
+    eps = 1e-3 * max(float(np.max(np.asarray(t1 - t0))), 1e-6)
+    want0 = np.where(hit, t_lo, t0)
+    want1 = np.where(hit, np.maximum(t_hi, t_lo + eps), np.asarray(t0) + eps)
+    np.testing.assert_allclose(np.asarray(n0), want0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n1), want1, atol=1e-5)
+
+
 def test_build_grid_from_trained_model(trained):
     """On the trained tiny scene the sphere-masked grid must be partially
     occupied (the object) and zero outside the mask sphere; occ-grid

@@ -95,6 +95,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     )
 
     rows = []
+    t_test0 = time.time()
     key = jax.random.PRNGKey(seed)
     for i in range(args.n_test_objects):
         oi = args.n_train_objects + i
@@ -119,6 +120,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
         print(f"[seed {seed}] object {i}: eval psnr {rows[-1][1]:.2f} dB, "
               f"ssim {rows[-1][2]:.4f}", flush=True)
 
+    test_time = time.time() - t_test0
     mean_psnr = float(np.mean([r[1] for r in rows]))
     mean_ssim = float(np.mean([r[2] for r in rows]))
     with open(os.path.join(out_dir, "RESULTS.md"), "w") as f:
@@ -136,7 +138,11 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
             "AdamW steps on view 1, lr 1e-2 halved/50 "
-            "(src/optimizer.py:48-135 protocol)\n\n"
+            "(src/optimizer.py:48-135 protocol); "
+            f"{args.n_test_objects} objects optimized+evaluated in "
+            f"{test_time:.0f}s wall "
+            f"({test_time / max(1, args.n_test_objects):.2f}s/object "
+            "incl. compile)\n\n"
             "| object | eval PSNR (dB) | eval SSIM | opt start -> end (dB) |\n"
             "|---|---|---|---|\n"
         )
@@ -147,6 +153,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
           f"SSIM {mean_ssim:.4f}", flush=True)
     return {"seed": seed, "psnr": mean_psnr, "ssim": mean_ssim,
             "train_psnr": float(m["psnr"]), "train_s": train_time,
+            "test_s": test_time,
             "per_object_psnr": [r[1] for r in rows]}
 
 
