@@ -72,6 +72,95 @@ def _render_sphere(
     return img.astype(np.float32)
 
 
+def _render_boxes(
+    H: int, W: int, focal: float, c2w: np.ndarray,
+    boxes: np.ndarray,   # (B, 2, 3): per box (center, half-extent)
+    albedo: np.ndarray, yaw: float,
+    pattern: bool = False,
+) -> np.ndarray:
+    """Analytic render of a union of axis-aligned boxes (rotated about z
+    by ``yaw``) on a white background — the "chair-like" category's
+    primitive. Slab-method ray/box intersection, vectorized over pixels
+    and boxes; lambertian shading with the light at the camera, normal
+    from the entering slab face. Thin legs and flat slabs produce the
+    occlusion boundaries and skinny structures a sphere can't, which is
+    what hierarchical / occupancy sampling exist for."""
+    v, u = np.meshgrid(np.arange(H, dtype=np.float64),
+                       np.arange(W, dtype=np.float64), indexing="ij")
+    dirs = np.stack(
+        [(u - W * 0.5) / focal, -(v - H * 0.5) / focal, -np.ones_like(u)], -1
+    )
+    rays_d = dirs @ c2w[:3, :3].T
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rays_o = np.broadcast_to(c2w[:3, 3], rays_d.shape)
+
+    # Rotate rays into the object frame (object yaw about +z).
+    cz, sz = np.cos(-yaw), np.sin(-yaw)
+    rot = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+    ro = rays_o @ rot.T          # (H, W, 3)
+    rd = rays_d @ rot.T
+
+    inv = 1.0 / np.where(np.abs(rd) < 1e-12, np.copysign(1e-12, rd), rd)
+    best_t = np.full((H, W), np.inf)
+    best_axis = np.zeros((H, W), dtype=np.int64)
+    best_sign = np.zeros((H, W))
+    for center, half in boxes:
+        lo = (center - half - ro) * inv   # (H, W, 3)
+        hi = (center + half - ro) * inv
+        tmin = np.minimum(lo, hi)
+        tmax = np.maximum(lo, hi)
+        t0 = tmin.max(axis=-1)
+        t1 = tmax.min(axis=-1)
+        axis = tmin.argmax(axis=-1)
+        hit = (t1 >= t0) & (t1 > 0.0) & (t0 > 1e-6) & (t0 < best_t)
+        best_t = np.where(hit, t0, best_t)
+        best_axis = np.where(hit, axis, best_axis)
+        ax_dir = np.take_along_axis(rd, axis[..., None], axis=-1)[..., 0]
+        best_sign = np.where(hit, -np.sign(ax_dir), best_sign)
+
+    hit = np.isfinite(best_t)
+    normal_obj = np.zeros((H, W, 3))
+    np.put_along_axis(normal_obj, best_axis[..., None],
+                      best_sign[..., None], axis=-1)
+    shade = np.clip(np.sum(normal_obj * -rd, axis=-1), 0.2, 1.0)
+    if pattern:
+        p = ro + best_t[..., None] * rd
+        p = np.where(hit[..., None], p, 0.0)
+        shade = shade * (0.75 + 0.25 * np.sin(5.0 * p[..., 0])
+                         * np.sin(5.0 * p[..., 1]) * np.sin(5.0 * p[..., 2]))
+    img = np.ones((H, W, 3))
+    img[hit] = albedo[None, :] * shade[hit][..., None]
+    return img.astype(np.float32)
+
+
+def _chair_boxes(rng: np.random.Generator) -> np.ndarray:
+    """Randomized chair: seat slab + backrest slab + four thin legs.
+    All inside a radius-~1.3 sphere around the origin (the same
+    bounding-sphere radius used for the sphere category works)."""
+    seat_h = rng.uniform(-0.15, 0.05)          # seat top z
+    sx = rng.uniform(0.38, 0.55)               # seat half-width (x)
+    sy = rng.uniform(0.38, 0.55)               # seat half-depth (y)
+    seat_t = rng.uniform(0.04, 0.08)           # seat half-thickness
+    back_h = rng.uniform(0.5, 0.85)            # backrest height above seat
+    back_t = rng.uniform(0.04, 0.08)           # backrest half-thickness
+    leg_t = rng.uniform(0.035, 0.06)           # leg half-thickness
+    leg_len = rng.uniform(0.5, 0.75)           # leg length below seat
+    boxes = [
+        # seat
+        ([0.0, 0.0, seat_h - seat_t], [sx, sy, seat_t]),
+        # backrest at -y edge
+        ([0.0, -sy + back_t, seat_h + back_h / 2.0],
+         [sx, back_t, back_h / 2.0]),
+    ]
+    lx, ly = sx - leg_t, sy - leg_t
+    for dx in (-lx, lx):
+        for dy in (-ly, ly):
+            boxes.append(([dx, dy, seat_h - 2 * seat_t - leg_len / 2.0],
+                          [leg_t, leg_t, leg_len / 2.0]))
+    return np.array([(np.asarray(c, np.float64), np.asarray(h, np.float64))
+                     for c, h in boxes])
+
+
 def synthetic_scene(
     n_objects: int = 3,
     n_views: int = 8,
@@ -81,6 +170,7 @@ def synthetic_scene(
     cam_distance: float = 4.0,
     seed: int = 0,
     pattern: bool = False,
+    geometry: str = "sphere",
 ) -> Dict[str, np.ndarray]:
     """Build an in-memory multi-object scene.
 
@@ -88,10 +178,15 @@ def synthetic_scene(
     ``images`` (N,V,H,W,3) uint8, ``poses`` (N,V,4,4) f32, ``focals`` (N,) f32,
     plus suggested ``near``/``far`` bounds.
     """
+    if geometry not in ("sphere", "chair"):
+        raise ValueError(f"unknown geometry {geometry!r}")
     rng = np.random.default_rng(seed)
     focal = focal if focal is not None else 1.2 * W
     radii = rng.uniform(0.7, 1.3, size=n_objects)
     albedos = rng.uniform(0.1, 0.9, size=(n_objects, 3))
+    if geometry == "chair":
+        chairs = [_chair_boxes(rng) for _ in range(n_objects)]
+        yaws = rng.uniform(0.0, 2.0 * np.pi, size=n_objects)
 
     # Views on a tilted circle around the origin.
     azimuths = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
@@ -105,8 +200,12 @@ def synthetic_scene(
         )
         c2w = _look_at(cam, np.zeros(3), np.array([0.0, 0.0, 1.0]))
         for oi in range(n_objects):
-            img = _render_sphere(H, W, focal, c2w, radii[oi], albedos[oi],
-                                 pattern=pattern)
+            if geometry == "chair":
+                img = _render_boxes(H, W, focal, c2w, chairs[oi],
+                                    albedos[oi], yaws[oi], pattern=pattern)
+            else:
+                img = _render_sphere(H, W, focal, c2w, radii[oi],
+                                     albedos[oi], pattern=pattern)
             images[oi, vi] = np.round(img * 255.0).astype(np.uint8)
             poses[oi, vi] = c2w.astype(np.float32)
 

@@ -60,6 +60,28 @@ def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
     return jnp.concatenate(ros), jnp.concatenate(vds), jnp.concatenate(gts)
 
 
+def _flat_target_rays_multi(images: np.ndarray, poses: np.ndarray,
+                            focals: np.ndarray, view_idxs: Sequence[int],
+                            H: int, W: int):
+    """Vectorized :func:`_flat_target_rays` over G objects: one vmapped
+    ray build instead of per-object/per-view device dispatches. Returns
+    (ro (G, T·H·W, 3), vd (G, T·H·W, 3), gt (G, T·H·W, 3)) with rows in
+    the same (view-major) order the per-object helper produces."""
+    idxs = list(view_idxs)
+    tgt_poses = jnp.asarray(poses[:, idxs])          # (G, T, 4, 4)
+    focals = jnp.asarray(focals, dtype=jnp.float32)  # (G,)
+    G, T = tgt_poses.shape[:2]
+
+    def per_view(focal, c2w):
+        return camera_rays(H, W, focal, c2w)
+
+    per_obj = jax.vmap(per_view, in_axes=(None, 0))      # over views
+    ro, vd = jax.vmap(per_obj)(focals, tgt_poses)        # (G, T, HW, 3)
+    gt = jnp.asarray(images[:, idxs], dtype=jnp.float32)
+    return (ro.reshape(G, T * H * W, 3), vd.reshape(G, T * H * W, 3),
+            gt.reshape(G, T * H * W, 3))
+
+
 def _chunked(x: jnp.ndarray, chunk: int, n_padded: int):
     from codenerf_tpu.renderer import pad_rays
 
@@ -426,6 +448,267 @@ def optimize_codes(
                               progress if progress_rays else None)
 
 
+class BatchedOptimizationResult(NamedTuple):
+    shape_codes: jnp.ndarray    # (G, D)
+    texture_codes: jnp.ndarray  # (G, D)
+    psnr_history: jnp.ndarray   # (num_opts, G) per-object training-view PSNR
+
+
+def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
+                     nc_obj: int, num_opts: int, lr: float,
+                     lr_half_interval: int, reference_resets: bool,
+                     use_fused: Optional[bool]):
+    """Multi-object variant of :func:`_build_run`: ``G`` objects' target
+    rays ride ONE jitted optimization scan instead of ``G`` sequential
+    dispatches (the reference protocol loops hundreds of test objects,
+    ``src/optimizer.py:53-147``).
+
+    Exactness by construction: every scan chunk holds ONE object's rays,
+    each object keeps its own PRNG stream (the same per-step/per-chunk key
+    splits the standalone run makes), the per-ray loss scale ``1/(R·3)``
+    is object-count-independent, and AdamW is elementwise — so row ``g``
+    of the batched (G, D) code tables follows the standalone trajectory of
+    object ``g`` exactly (asserted by tests, not just argued)."""
+    net_cfg, rcfg = hp.net, hp.render
+    compute_dtype = resolve_dtype(hp.compute_dtype)
+    G = n_objs
+
+    from codenerf_tpu.ops import fused_train as _ft
+
+    want_fused = hp.use_fused_train if use_fused is None else use_fused
+    use_single_pass = (
+        want_fused and hp.fused_composite
+        and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
+        and nc_obj * chunk == n_rays
+        and _ft.single_pass_available(net_cfg, chunk)
+    )
+    apply_fn = composite_fn = None
+    if want_fused and not use_single_pass:
+        apply_fn, composite_fn = build_fused_codes_fns(hp, chunk,
+                                                       use_fused=use_fused)
+    fused = (use_single_pass or apply_fn is not None
+             or composite_fn is not None)
+
+    tx = optax.adamw(step_halving(lr, lr_half_interval), b1=0.9, b2=0.999,
+                     eps=1e-8, weight_decay=hp.weight_decay)
+    scale = 1.0 / (n_rays * 3.0)
+
+    def rows_reg(codes):
+        sc_t, tc_t = codes
+        norms = (jax.vmap(safe_code_norm)(sc_t)
+                 + jax.vmap(safe_code_norm)(tc_t))
+        return jnp.sum(norms)
+
+    def loss_fn(codes, chunk_keys, params, fine_params, ro_c, vd_c, gt_c,
+                mask_c, gi_c):
+        sc_t, tc_t = codes
+
+        def body(carry, xs):
+            ro, vd, gt, m, gi, k = xs
+            shape_code = jnp.take(sc_t, gi, axis=0)
+            tex_code = jnp.take(tc_t, gi, axis=0)
+            res = render_rays(
+                params, net_cfg, rcfg, ro, vd, shape_code, tex_code, k,
+                fine_params=fine_params, compute_dtype=compute_dtype,
+                apply_fn=apply_fn, composite_fn=composite_fn,
+            )
+            fin_se_v, opt_se = carry
+            se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
+            fin_se_v = fin_se_v.at[gi].add(se)
+            if res.fine is not None:
+                se = se + jnp.sum(m[:, None] * (res.coarse.rgb - gt) ** 2)
+            return (fin_se_v, opt_se + se), None
+
+        (fin_se_v, opt_se), _ = jax.lax.scan(
+            body if fused else jax.checkpoint(body),
+            (jnp.zeros((G,), jnp.float32), jnp.zeros((), jnp.float32)),
+            (ro_c, vd_c, gt_c, mask_c, gi_c, chunk_keys),
+        )
+        loss = opt_se * scale + hp.loss_reg_coef * rows_reg(codes)
+        return loss, fin_se_v * scale
+
+    if use_single_pass:
+        from codenerf_tpu.ops import fused_mlp
+        from codenerf_tpu.ops import fused_train as ft_mod
+        from codenerf_tpu.renderer import coarse_zvals
+
+        hier = rcfg.n_importance > 0
+        f32 = jnp.float32
+
+        def sp_value_and_grad(codes, chunk_keys, params, ro_c, vd_c, gt_c,
+                              gi_c):
+            sc_t, tc_t = codes
+            wflat = [jax.lax.stop_gradient(w)
+                     for w in ft_mod.flatten_params_f32(params, net_cfg)]
+
+            def chunk_body(carry, xs):
+                fin_se_v, g_acc = carry
+                ro, vd, gt, gi, k = xs
+                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k)
+                ro8 = fused_mlp._pad_lanes(ro.astype(f32), 8)
+                vd8 = fused_mlp._pad_lanes(vd.astype(f32), 8)
+                gt8 = fused_mlp._pad_lanes(gt.astype(f32), 8)
+
+                def prologue(cds):
+                    s_t, t_t = cds
+                    sc = jnp.take(s_t, gi, axis=0)
+                    tc = jnp.take(t_t, gi, axis=0)
+                    _, _, _, sproj, tproj, vcontrib = \
+                        fused_mlp.prep_ray_operands(
+                            params, net_cfg, ro, vd, z2d, sc, tc)
+                    return sproj, tproj, vcontrib
+
+                (sproj, tproj, vcontrib), pvjp = jax.vjp(prologue, codes)
+                if hier:
+                    from codenerf_tpu.core.render import composite_weights
+
+                    wb = [w.astype(jnp.bfloat16) if w.ndim == 2 else w
+                          for w in wflat]
+                    sigma_c = fused_mlp.invoke_fwd(
+                        net_cfg, z2d.shape[1], chunk, ro8, vd8, z2d,
+                        sproj, tproj, vcontrib, wb, sigma_only=True)
+                    w_coarse = composite_weights(sigma_c, z2d)
+                    z_all, cmask, cdelta = ft_mod.hier_fine_zvals_meta(
+                        z2d, w_coarse, key_fine, rcfg.n_importance)
+                    outs = ft_mod.invoke_train_fused(
+                        net_cfg, z_all.shape[1], chunk, rcfg.white_bg,
+                        scale, ro8, vd8, z_all, sproj, tproj, vcontrib,
+                        gt8, wflat, want_rgb=False, weight_grads=False,
+                        coarse_mask=cmask, coarse_delta=cdelta)
+                    se_f, _se_c, d_sproj, d_tproj, d_vcontrib = outs[:5]
+                    fin = se_f
+                else:
+                    outs = ft_mod.invoke_train_fused(
+                        net_cfg, z2d.shape[1], chunk, rcfg.white_bg, scale,
+                        ro8, vd8, z2d, sproj, tproj, vcontrib, gt8, wflat,
+                        want_rgb=False, weight_grads=False)
+                    fin = outs[0]
+                    d_sproj, d_tproj, d_vcontrib = outs[1:4]
+                (g_codes,) = pvjp((d_sproj, d_tproj, d_vcontrib))
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, b: a + b, g_acc, g_codes)
+                return (fin_se_v.at[gi].add(fin), g_acc), None
+
+            zerog = jax.tree_util.tree_map(jnp.zeros_like, codes)
+            (fin_se_v, g_codes), _ = jax.lax.scan(
+                chunk_body, (jnp.zeros((G,), f32), zerog),
+                (ro_c, vd_c, gt_c, gi_c, chunk_keys))
+
+            _, g_reg = jax.value_and_grad(rows_reg)(codes)
+            grads = jax.tree_util.tree_map(
+                lambda a, b: a + hp.loss_reg_coef * b, g_codes, g_reg)
+            return fin_se_v * scale, grads
+
+    @jax.jit
+    def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0,
+            keys_g):
+        opt_state0 = tx.init(codes0)
+        # Per-object step keys reproduce the standalone runs bitwise:
+        # object g's stream is split(key_g, num_opts), and each step key
+        # splits into that object's per-chunk keys — identical to what
+        # _build_run derives for a single object.
+        step_keys = jax.vmap(
+            lambda kg: jax.random.split(kg, num_opts))(keys_g)  # (G, T, 2)
+
+        def step(carry, xs):
+            step_idx, sk_g = xs
+            codes, opt_state = carry
+            if reference_resets:
+                from codenerf_tpu.training.train_step import reset_adam_state
+
+                opt_state = jax.lax.cond(
+                    step_idx % lr_half_interval == 0,
+                    reset_adam_state, lambda s: s, opt_state,
+                )
+            chunk_keys = jax.vmap(
+                lambda k: jax.random.split(k, nc_obj))(sk_g)
+            chunk_keys = chunk_keys.reshape(G * nc_obj, *chunk_keys.shape[2:])
+            if use_single_pass:
+                mse_v, grads = sp_value_and_grad(
+                    codes, chunk_keys, params, ro_c, vd_c, gt_c, gi_c)
+            else:
+                (_, mse_v), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    codes, chunk_keys, params, fine_params, ro_c, vd_c,
+                    gt_c, mask_c, gi_c,
+                )
+            updates, opt_state = tx.update(grads, opt_state, codes)
+            codes = optax.apply_updates(codes, updates)
+            return (codes, opt_state), psnr_fn(mse_v)
+
+        (codes, _), history = jax.lax.scan(
+            step, (codes0, opt_state0),
+            (jnp.arange(num_opts), jnp.swapaxes(step_keys, 0, 1)),
+        )
+        return codes, history
+
+    return run
+
+
+def optimize_codes_batch(
+    params,
+    hp: Hparams,
+    ray_o: jnp.ndarray,      # (G, N, 3)
+    viewdir: jnp.ndarray,    # (G, N, 3)
+    gt_rgb: jnp.ndarray,     # (G, N, 3)
+    init_shape: jnp.ndarray,    # (D,) or (G, D)
+    init_texture: jnp.ndarray,  # (D,) or (G, D)
+    keys: jax.Array,         # (G,) stacked PRNG keys — one stream per object
+    num_opts: int = 200,
+    lr: float = 1e-2,
+    lr_half_interval: int = 50,
+    chunk: int = 4096,
+    fine_params=None,
+    reference_resets: bool = False,
+    use_fused: Optional[bool] = None,
+) -> BatchedOptimizationResult:
+    """Optimize G objects' codes in ONE jitted dispatch.
+
+    Row ``g`` of the result equals :func:`optimize_codes` run on object
+    ``g`` alone with ``key=keys[g]`` (same chunking): per-object math, RNG
+    streams, and Adam state are independent by construction, so batching
+    changes wall-clock only. Per-step progress renders are not supported
+    here — use the per-object path for those."""
+    from codenerf_tpu.renderer import chunk_plan, pad_rays
+
+    G, n_rays = ray_o.shape[:2]
+    chunk, _, n_padded = chunk_plan(n_rays, chunk)
+    nc_obj = n_padded // chunk
+    cache_key = ("batch", dataclasses.replace(hp, raw=None), G, n_rays,
+                 chunk, nc_obj, num_opts, lr, lr_half_interval,
+                 reference_resets, use_fused, fine_params is None)
+    if cache_key not in _RUN_CACHE:
+        _RUN_CACHE[cache_key] = _build_run_batch(
+            hp, G, n_rays, chunk, nc_obj, num_opts, lr, lr_half_interval,
+            reference_resets, use_fused)
+        while len(_RUN_CACHE) > _RUN_CACHE_MAX:
+            _RUN_CACHE.popitem(last=False)
+    else:
+        _RUN_CACHE.move_to_end(cache_key)
+    run = _RUN_CACHE[cache_key]
+
+    def chunk_all(x):
+        padded = jax.vmap(lambda a: pad_rays(a, n_padded))(x)
+        return padded.reshape(G * nc_obj, chunk, *x.shape[2:])
+
+    ro_c = chunk_all(jnp.asarray(ray_o))
+    vd_c = chunk_all(jnp.asarray(viewdir))
+    gt_c = chunk_all(jnp.asarray(gt_rgb, dtype=jnp.float32))
+    mask = jnp.arange(n_padded, dtype=jnp.float32) < n_rays
+    mask_c = jnp.tile(mask.reshape(nc_obj, chunk), (G, 1))
+    gi_c = jnp.repeat(jnp.arange(G, dtype=jnp.int32), nc_obj)
+
+    D_s = init_shape.shape[-1]
+    D_t = init_texture.shape[-1]
+    codes0 = (
+        jnp.broadcast_to(init_shape.astype(jnp.float32), (G, D_s)),
+        jnp.broadcast_to(init_texture.astype(jnp.float32), (G, D_t)),
+    )
+    (shape_codes, texture_codes), history = run(
+        params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0, keys)
+    return BatchedOptimizationResult(shape_codes, texture_codes, history)
+
+
 @dataclasses.dataclass
 class CodeOptimizer:
     """Driver mirroring the reference ``Optimizer``: per-object code
@@ -451,6 +734,8 @@ class CodeOptimizer:
     def __post_init__(self):
         self._eval_fn = None
         self._eval_key = None  # (H, W, chunk) the cached eval fn was built for
+        self._eval_multi_fn = None
+        self._eval_multi_key = None
 
     def optimize_object(
         self,
@@ -485,7 +770,10 @@ class CodeOptimizer:
                 progress=res.progress.reshape(num_opts, H, W, 3))
         return res
 
-    def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
+    def _make_eval_view(self, H: int, W: int, chunk: int,
+                        deterministic: bool):
+        """Shared per-view render+score closure for the single- and
+        multi-object eval builders."""
         net_cfg, rcfg = self.hp.net, self.hp.render
         compute_dtype = resolve_dtype(self.hp.compute_dtype)
         from codenerf_tpu.renderer import chunk_plan, pad_rays
@@ -513,6 +801,11 @@ class CodeOptimizer:
             mse = reference_psnr_mse(rgb, gt)
             return rgb, psnr_fn(mse), ssim_fn(rgb, gt)
 
+        return eval_view
+
+    def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
+        eval_view = self._make_eval_view(H, W, chunk, deterministic)
+
         # The whole eval sweep (the reference loops 249 views with one GPU
         # dispatch each, src/optimizer.py:110-130) is ONE jitted call: a
         # lax.map over views. On a remote-tunneled device this removes
@@ -530,6 +823,105 @@ class CodeOptimizer:
             return jax.lax.map(one, (c2ws, gts, keys))
 
         return eval_views
+
+    def _build_eval_multi(self, H: int, W: int, chunk: int,
+                          deterministic: bool):
+        eval_view = self._make_eval_view(H, W, chunk, deterministic)
+
+        # G objects × V views in ONE dispatch. Each object keeps its own
+        # PRNG stream (split(key_g, V)) so per-view z-jitter matches the
+        # sequential evaluate_object calls exactly.
+        @jax.jit
+        def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g):
+            G, V = c2ws.shape[:2]
+            keys = jax.vmap(lambda kg: jax.random.split(kg, V))(keys_g)
+
+            def one(xs):
+                c2w, f, gt, sc, tc, k = xs
+                return eval_view(c2w, f, gt, sc, tc, k)
+
+            rgb, p, s = jax.lax.map(one, (
+                c2ws.reshape(G * V, *c2ws.shape[2:]),
+                jnp.repeat(focals, V),
+                gts.reshape(G * V, *gts.shape[2:]),
+                jnp.repeat(scs, V, axis=0),
+                jnp.repeat(tcs, V, axis=0),
+                keys.reshape(G * V, *keys.shape[2:]),
+            ))
+            return (rgb.reshape(G, V, *rgb.shape[1:]),
+                    p.reshape(G, V), s.reshape(G, V))
+
+        return eval_views_multi
+
+    def optimize_objects(
+        self,
+        images: np.ndarray,   # (G, V, H, W, 3) float [0,1]
+        poses: np.ndarray,    # (G, V, 4, 4)
+        focals: np.ndarray,   # (G,)
+        tgt_views: Sequence[int],
+        keys: jax.Array,      # (G,) stacked PRNG keys, one per object
+        num_opts: int = 200,
+        lr: float = 1e-2,
+        lr_half_interval: int = 50,
+    ) -> BatchedOptimizationResult:
+        """Optimize G test objects' codes in ONE jitted dispatch.
+
+        Row ``g`` follows the trajectory :meth:`optimize_object` would
+        produce for object ``g`` with ``key=keys[g]`` — batching is a
+        wall-clock optimization, not a semantics change (the reference
+        protocol's per-object loop, ``src/optimizer.py:53-147``, pays
+        per-object dispatch/transfer overhead instead)."""
+        H, W = images.shape[2:4]
+        ro, vd, gt = _flat_target_rays_multi(images, poses, focals,
+                                             tgt_views, H, W)
+        return optimize_codes_batch(
+            self.params, self.hp, ro, vd, gt,
+            self.mean_shape, self.mean_texture, keys,
+            num_opts=num_opts, lr=lr, lr_half_interval=lr_half_interval,
+            chunk=self.chunk, fine_params=self.fine_params,
+            reference_resets=self.reference_resets,
+            use_fused=self.use_fused,
+        )
+
+    def evaluate_objects(
+        self,
+        images: np.ndarray,   # (G, V, H, W, 3) float [0,1]
+        poses: np.ndarray,    # (G, V, 4, 4)
+        focals: np.ndarray,   # (G,)
+        exclude_views: Sequence[int],
+        shape_codes: jnp.ndarray,    # (G, D)
+        texture_codes: jnp.ndarray,  # (G, D)
+        keys: jax.Array,      # (G,) stacked PRNG keys, one per object
+        return_images: bool = False,
+        deterministic: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Reference eval protocol over G objects in ONE dispatch: PSNR/
+        SSIM per (object, view) for every view not in ``exclude_views``
+        (the same exclusion applies to all G objects). With
+        ``return_images=False`` the rendered frames stay device-side —
+        only the (G, V') metric arrays cross the tunnel."""
+        H, W = images.shape[2:4]
+        cache_key = (H, W, self.chunk, deterministic)
+        if self._eval_multi_fn is None or self._eval_multi_key != cache_key:
+            self._eval_multi_fn = self._build_eval_multi(
+                H, W, self.chunk, deterministic)
+            self._eval_multi_key = cache_key
+        excl = set(int(i) for i in exclude_views)
+        idxs = [v for v in range(images.shape[1]) if v not in excl]
+        rgb, p, s = self._eval_multi_fn(
+            jnp.asarray(poses[:, idxs]),
+            jnp.asarray(focals, dtype=jnp.float32),
+            jnp.asarray(images[:, idxs], dtype=jnp.float32),
+            shape_codes, texture_codes, keys,
+        )
+        out = {
+            "views": np.asarray(idxs),
+            "psnr": np.asarray(p),    # (G, V')
+            "ssim": np.asarray(s),    # (G, V')
+        }
+        if return_images:
+            out["images"] = np.asarray(rgb)  # (G, V', H, W, 3)
+        return out
 
     def evaluate_object(
         self,

@@ -54,6 +54,12 @@ def main() -> None:
     parser.add_argument("--batchsize", type=int, default=4096)
     parser.add_argument("--exps_root", type=str, default="exps")
     parser.add_argument("--max_objects", type=int, default=None)
+    parser.add_argument("--opt_group", type=int, default=1,
+                        help="test objects optimized+evaluated per "
+                             "dispatch (batched multi-object code-opt; "
+                             "per-object results are identical to the "
+                             "sequential path). Disables per-step "
+                             "progress PNGs.")
     parser.add_argument("--deterministic_eval", type=str2bool, default=False,
                         help="midpoint z-values at eval (the reference "
                              "always evaluates with jittered sampling)")
@@ -129,61 +135,109 @@ def main() -> None:
     }
     psnr_eval, ssim_eval, summary = {}, {}, []
     key = jax.random.PRNGKey(hp.seed)
-    for oi in range(n):
-        print(f"num obj: {oi}/{n}")
-        imgs = ds.images[oi].astype(np.float32) / 255.0
-        poses, focal = ds.poses[oi], float(ds.focals[oi])
-        key, k_opt, k_eval = jax.random.split(key, 3)
-        res = optimizer.optimize_object(
-            imgs, poses, focal, args.tgt_instances, k_opt,
-            num_opts=args.num_opts, lr=args.lr,
-            lr_half_interval=args.lr_half_interval,
-            progress_images=args.save_progress,
-        )
-        if args.save_progress:
-            # Per-opt-step progress PNGs, reference layout
-            # (src/optimizer.py:149-166): render | GT of the first target
-            # view at every step.
-            obj_dir = os.path.join(save_dir, ds.ids[oi])
-            os.makedirs(obj_dir, exist_ok=True)
-            v0 = args.tgt_instances[0]
-            prog = np.asarray(res.progress)
-            for t in range(prog.shape[0]):
-                save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
-                         side_by_side(prog[t], imgs[v0]))
-        ev = optimizer.evaluate_object(
-            imgs, poses, focal, args.tgt_instances,
-            res.shape_code, res.texture_code, k_eval,
-            return_images=args.save_img,
-            deterministic=args.deterministic_eval,
-        )
-        hist = np.asarray(res.psnr_history)
-        for t, p in enumerate(hist):
+    group = max(1, args.opt_group)
+    if group > 1 and args.save_progress:
+        print("WARNING: --opt_group disables per-step progress PNGs "
+              "(batched optimization collects no per-step renders)",
+              file=sys.stderr)
+
+    def emit(oi, imgs, shape_code, texture_code, hist, ev_psnr, ev_ssim,
+             ev_views, ev_images):
+        """Per-object artifacts — identical for both loop shapes."""
+        for t, p in enumerate(np.asarray(hist)):
             logger.scalars(t + args.num_opts * oi,
                            {f"psnr_opt/{nviews}/{args.splits}": float(p)})
-        out["optimized_shapecodes"][oi] = np.asarray(res.shape_code)
-        out["optimized_texturecodes"][oi] = np.asarray(res.texture_code)
-        psnr_eval[ds.ids[oi]] = ev["psnr"].tolist()
-        ssim_eval[ds.ids[oi]] = ev["ssim"].tolist()
+        out["optimized_shapecodes"][oi] = np.asarray(shape_code)
+        out["optimized_texturecodes"][oi] = np.asarray(texture_code)
+        psnr_eval[ds.ids[oi]] = np.asarray(ev_psnr).tolist()
+        ssim_eval[ds.ids[oi]] = np.asarray(ev_ssim).tolist()
         summary.append({"id": ds.ids[oi],
-                        "psnr": float(ev["psnr"].mean()),
-                        "ssim": float(ev["ssim"].mean())})
-        print(f"  psnr {ev['psnr'].mean():.3f}  ssim {ev['ssim'].mean():.4f}")
-        if args.save_img:
+                        "psnr": float(np.mean(ev_psnr)),
+                        "ssim": float(np.mean(ev_ssim))})
+        print(f"  psnr {np.mean(ev_psnr):.3f}  ssim {np.mean(ev_ssim):.4f}")
+        if args.save_img and ev_images is not None:
             obj_dir = os.path.join(save_dir, ds.ids[oi])
             os.makedirs(obj_dir, exist_ok=True)
-            for j, v in enumerate(ev["views"]):
+            for j, v in enumerate(ev_views):
                 save_png(
-                    os.path.join(obj_dir, f"{v}_{len(args.tgt_instances)}.png"),
-                    side_by_side(ev["images"][j], imgs[v]),
+                    os.path.join(obj_dir,
+                                 f"{v}_{len(args.tgt_instances)}.png"),
+                    side_by_side(ev_images[j], imgs[v]),
                 )
         np.savez(os.path.join(save_dir, "codes.npz"), **out)
         with open(os.path.join(save_dir, "results.json"), "w") as f:
             json.dump({"per_object": summary,
                        "psnr_eval": psnr_eval, "ssim_eval": ssim_eval,
-                       "mean_psnr": float(np.mean([s["psnr"] for s in summary])),
-                       "mean_ssim": float(np.mean([s["ssim"] for s in summary]))},
+                       "mean_psnr": float(np.mean([s["psnr"]
+                                                   for s in summary])),
+                       "mean_ssim": float(np.mean([s["ssim"]
+                                                   for s in summary]))},
                       f, indent=2)
+
+    if group == 1:
+        for oi in range(n):
+            print(f"num obj: {oi}/{n}")
+            imgs = ds.images[oi].astype(np.float32) / 255.0
+            poses, focal = ds.poses[oi], float(ds.focals[oi])
+            key, k_opt, k_eval = jax.random.split(key, 3)
+            res = optimizer.optimize_object(
+                imgs, poses, focal, args.tgt_instances, k_opt,
+                num_opts=args.num_opts, lr=args.lr,
+                lr_half_interval=args.lr_half_interval,
+                progress_images=args.save_progress,
+            )
+            if args.save_progress:
+                # Per-opt-step progress PNGs, reference layout
+                # (src/optimizer.py:149-166): render | GT of the first
+                # target view at every step.
+                obj_dir = os.path.join(save_dir, ds.ids[oi])
+                os.makedirs(obj_dir, exist_ok=True)
+                v0 = args.tgt_instances[0]
+                prog = np.asarray(res.progress)
+                for t in range(prog.shape[0]):
+                    save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
+                             side_by_side(prog[t], imgs[v0]))
+            ev = optimizer.evaluate_object(
+                imgs, poses, focal, args.tgt_instances,
+                res.shape_code, res.texture_code, k_eval,
+                return_images=args.save_img,
+                deterministic=args.deterministic_eval,
+            )
+            emit(oi, imgs, res.shape_code, res.texture_code,
+                 res.psnr_history, ev["psnr"], ev["ssim"], ev["views"],
+                 ev.get("images") if args.save_img else None)
+    else:
+        # Batched path: G objects per dispatch; per-object keys follow
+        # the same split pattern as the sequential loop, so codes.npz /
+        # results.json are object-for-object identical either way.
+        for start in range(0, n, group):
+            idx = list(range(start, min(start + group, n)))
+            print(f"num obj: {idx[0]}..{idx[-1]}/{n}")
+            imgs_g = np.stack([ds.images[i] for i in idx]).astype(
+                np.float32) / 255.0
+            poses_g = np.stack([ds.poses[i] for i in idx])
+            focals_g = np.asarray([ds.focals[i] for i in idx], np.float32)
+            ks_opt, ks_eval = [], []
+            for _ in idx:
+                key, k_opt, k_eval = jax.random.split(key, 3)
+                ks_opt.append(k_opt)
+                ks_eval.append(k_eval)
+            res = optimizer.optimize_objects(
+                imgs_g, poses_g, focals_g, args.tgt_instances,
+                jnp.stack(ks_opt), num_opts=args.num_opts, lr=args.lr,
+                lr_half_interval=args.lr_half_interval,
+            )
+            ev = optimizer.evaluate_objects(
+                imgs_g, poses_g, focals_g, args.tgt_instances,
+                res.shape_codes, res.texture_codes, jnp.stack(ks_eval),
+                return_images=args.save_img,
+                deterministic=args.deterministic_eval,
+            )
+            for j, oi in enumerate(idx):
+                emit(oi, imgs_g[j], res.shape_codes[j],
+                     res.texture_codes[j], res.psnr_history[:, j],
+                     ev["psnr"][j], ev["ssim"][j], ev["views"],
+                     ev["images"][j] if args.save_img else None)
     print("done:", json.dumps(summary[-1] if summary else {}))
 
 

@@ -118,6 +118,28 @@ def test_train_then_optimize_cli(workdir):
     assert r4.returncode == 0, r4.stderr[-3000:]
     assert (exp / "test_2").is_dir()
 
+    # batched multi-object path (--opt_group): same protocol, same
+    # per-object keys -> object-for-object identical artifacts
+    r5 = _run(
+        [os.path.join(REPO, "optimize.py"), "--saved_dir", "run1",
+         "--tgt_instances", "1", "--splits", "test", "--num_opts", "10",
+         "--lr", "1e-2", "--lr_half_interval", "5",
+         "--jsonfile", "jsonfiles/tiny.json", "--batchsize", "256",
+         "--save_img", "false", "--save_progress", "false",
+         "--opt_group", "2"],
+        cwd=str(workdir),
+    )
+    assert r5.returncode == 0, r5.stderr[-3000:]
+    codes_b = np.load(exp / "test_3" / "codes.npz")
+    np.testing.assert_allclose(codes_b["optimized_shapecodes"],
+                               codes["optimized_shapecodes"], atol=1e-4)
+    with open(exp / "test_3" / "results.json") as f:
+        results_b = json.load(f)
+    for a, b in zip(results_b["per_object"], results["per_object"]):
+        assert a["id"] == b["id"]
+        assert abs(a["psnr"] - b["psnr"]) < 0.05
+        assert abs(a["ssim"] - b["ssim"]) < 1e-3
+
 
 def test_ignored_reference_flags_warn(tmp_path):
     """Non-default values of reference-compat flags with different semantics

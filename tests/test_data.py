@@ -62,6 +62,30 @@ def test_synthetic_scene_objects_differ():
     assert (scene["images"][:, :, 0, 0] == 255).all()
 
 
+def test_synthetic_chair_geometry():
+    """The compound chair-like category: deterministic per seed, objects
+    differ, background is white, and the object silhouette changes with
+    azimuth (multi-view structure, not a billboard)."""
+    scene = synthetic_scene(n_objects=3, n_views=4, H=32, W=32, seed=1,
+                            geometry="chair")
+    again = synthetic_scene(n_objects=3, n_views=4, H=32, W=32, seed=1,
+                            geometry="chair")
+    np.testing.assert_array_equal(scene["images"], again["images"])
+    imgs = scene["images"].astype(np.int32)
+    assert np.abs(imgs[0] - imgs[1]).mean() > 1.0
+    assert (scene["images"][:, :, 0, 0] == 255).all()
+    # foreground exists and silhouettes differ across views
+    fg = (scene["images"] < 250).any(-1)  # (N, V, H, W)
+    assert fg.mean() > 0.02
+    assert np.abs(fg[:, 0].astype(np.int32)
+                  - fg[:, 2].astype(np.int32)).mean() > 0.005
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        synthetic_scene(n_objects=1, n_views=1, geometry="cone")
+
+
 def test_pipeline_batch_contract(tiny_scene):
     pipe = RayBatchPipeline(tiny_scene["images"], tiny_scene["poses"],
                             tiny_scene["focals"], seed=0)

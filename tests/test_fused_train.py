@@ -574,6 +574,54 @@ def test_optimize_codes_single_pass_hierarchical_and_progress():
                                np.asarray(res_x.progress), atol=2e-2)
 
 
+@pytest.mark.parametrize("n_importance", [0, 8])
+def test_optimize_codes_batch_matches_sequential(n_importance):
+    """The batched multi-object run (one dispatch, G objects) must
+    reproduce each object's standalone single-pass trajectory: per-object
+    chunks, RNG streams and Adam rows are independent by construction, so
+    row g of the (G, D) result equals optimize_codes on object g alone."""
+    import dataclasses
+
+    from codenerf_tpu.optimization import codes_opt
+
+    hp = _fused_hparams(n_samples=8)
+    if n_importance:
+        hp = dataclasses.replace(
+            hp, render=dataclasses.replace(hp.render,
+                                           n_importance=n_importance))
+    params = init_codenerf(jax.random.PRNGKey(1), hp.net)
+    G, R = 2, 128  # chunk=64 -> 2 chunks per object
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    ro = jax.random.uniform(ks[0], (G, R, 3), jnp.float32, -0.2, 0.2)
+    vd = jax.random.normal(ks[1], (G, R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    gt = jax.random.uniform(ks[2], (G, R, 3))
+    init_s = jax.random.normal(ks[3], (hp.net.latent_dim,)) * 0.05
+    init_t = jnp.zeros((hp.net.latent_dim,))
+    keys = jnp.stack([jax.random.PRNGKey(100 + g) for g in range(G)])
+
+    kwargs = dict(num_opts=3, lr=1e-2, lr_half_interval=2, chunk=64,
+                  use_fused=True)
+    batch = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, init_s, init_t, keys, **kwargs)
+    assert batch.shape_codes.shape == (G, hp.net.latent_dim)
+    assert batch.psnr_history.shape == (3, G)
+    assert np.isfinite(np.asarray(batch.psnr_history)).all()
+    for g in range(G):
+        seq = codes_opt.optimize_codes(
+            params, hp, ro[g], vd[g], gt[g], init_s, init_t, keys[g],
+            **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(batch.shape_codes[g]), np.asarray(seq.shape_code),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(batch.texture_codes[g]),
+            np.asarray(seq.texture_code), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(batch.psnr_history[:, g]),
+            np.asarray(seq.psnr_history), atol=1e-3)
+
+
 def test_optimize_codes_fused_fallback_and_explicit_raise():
     """An un-tileable chunk quietly falls back when the flag comes from
     hparams, and raises when use_fused=True is explicit."""

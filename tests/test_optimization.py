@@ -78,6 +78,80 @@ def test_code_opt_then_eval_on_heldout_views(trained):
     assert (ev["ssim"] <= 1.0 + 1e-6).all()
 
 
+def test_batched_objects_match_sequential(trained):
+    """optimize_objects/evaluate_objects (G objects, ONE dispatch each)
+    must reproduce the per-object optimize_object/evaluate_object loop:
+    same per-object RNG streams, same math — batching is wall-clock only."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    # Three entries from the two fixture objects (one repeated with its
+    # own key) exercise G > n_distinct and per-object stream isolation.
+    objs = [0, 1, 0]
+    imgs = np.stack([_images_f32(scene, o) for o in objs])
+    poses = np.stack([scene["poses"][o] for o in objs])
+    focals = np.asarray([scene["focals"][o] for o in objs], np.float32)
+    keys = jnp.stack([jax.random.PRNGKey(40 + g) for g in range(len(objs))])
+    ekeys = jnp.stack([jax.random.PRNGKey(90 + g) for g in range(len(objs))])
+    kwargs = dict(num_opts=12, lr=1e-2, lr_half_interval=6)
+
+    batch = opt.optimize_objects(imgs, poses, focals, tgt_views=[0, 2],
+                                 keys=keys, **kwargs)
+    assert batch.psnr_history.shape == (12, len(objs))
+    ev = opt.evaluate_objects(
+        imgs, poses, focals, exclude_views=[0, 2],
+        shape_codes=batch.shape_codes, texture_codes=batch.texture_codes,
+        keys=ekeys)
+    assert ev["psnr"].shape == (len(objs), imgs.shape[1] - 2)
+
+    for g, o in enumerate(objs):
+        seq = opt.optimize_object(
+            imgs[g], poses[g], float(focals[g]), tgt_views=[0, 2],
+            key=keys[g], **kwargs)
+        np.testing.assert_allclose(np.asarray(batch.shape_codes[g]),
+                                   np.asarray(seq.shape_code), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch.psnr_history[:, g]),
+                                   np.asarray(seq.psnr_history), atol=1e-3)
+        sev = opt.evaluate_object(
+            imgs[g], poses[g], float(focals[g]), exclude_views=[0, 2],
+            shape_code=seq.shape_code, texture_code=seq.texture_code,
+            key=ekeys[g])
+        np.testing.assert_allclose(ev["psnr"][g], sev["psnr"], atol=1e-3)
+        np.testing.assert_allclose(ev["ssim"][g], sev["ssim"], atol=1e-4)
+    # the repeated object with a different key must still land on a
+    # (slightly) different trajectory than its twin — streams are distinct
+    assert not np.allclose(np.asarray(batch.shape_codes[0]),
+                           np.asarray(batch.shape_codes[2]))
+
+
+def test_batched_objects_padded_rays(trained):
+    """Batched path with a ray count that does not divide the chunk: the
+    XLA masked-pad route must keep per-object parity."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    from codenerf_tpu.optimization import codes_opt
+
+    G, N = 2, 200  # chunk=256 -> padded single chunk per object
+    rng = np.random.default_rng(5)
+    imgs = np.stack([_images_f32(scene, o) for o in (0, 1)])
+    ro, vd, gt = codes_opt._flat_target_rays_multi(
+        imgs, np.stack([scene["poses"][o] for o in (0, 1)]),
+        np.asarray([scene["focals"][0], scene["focals"][1]], np.float32),
+        [1], 16, 16)
+    sel = rng.choice(ro.shape[1], N, replace=False)
+    ro, vd, gt = ro[:, sel], vd[:, sel], gt[:, sel]
+    keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+    kwargs = dict(num_opts=6, lr=1e-2, lr_half_interval=3, chunk=256)
+    batch = codes_opt.optimize_codes_batch(
+        opt.params, hp, ro, vd, gt, opt.mean_shape, opt.mean_texture,
+        keys, **kwargs)
+    for g in range(G):
+        seq = codes_opt.optimize_codes(
+            opt.params, hp, ro[g], vd[g], gt[g], opt.mean_shape,
+            opt.mean_texture, keys[g], **kwargs)
+        np.testing.assert_allclose(np.asarray(batch.shape_codes[g]),
+                                   np.asarray(seq.shape_code), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch.psnr_history[:, g]),
+                                   np.asarray(seq.psnr_history), atol=1e-3)
+
+
 def test_pose_optimization_recovers_perturbation(trained):
     opt, tr, scene, hp = _make_optimizer(trained)
     obj, view = 0, 2

@@ -54,7 +54,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     n_total = args.n_train_objects + args.n_test_objects
     scene = synthetic_scene(n_objects=n_total, n_views=args.n_views,
                             H=args.size, W=args.size, seed=11 + 100 * seed,
-                            pattern=True)
+                            pattern=True, geometry=args.geometry)
     train_scene = {
         "images": scene["images"][: args.n_train_objects],
         "poses": scene["poses"][: args.n_train_objects],
@@ -97,28 +97,76 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     rows = []
     t_test0 = time.time()
     key = jax.random.PRNGKey(seed)
-    for i in range(args.n_test_objects):
-        oi = args.n_train_objects + i
-        imgs = scene["images"][oi].astype(np.float32) / 255.0
-        poses = scene["poses"][oi]
-        focal = float(scene["focals"][oi])
-        key, k_opt, k_eval = jax.random.split(key, 3)
-        res = optimizer.optimize_object(
-            imgs, poses, focal, tgt_views=[1], key=k_opt,
-            num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
-        )
-        ev = optimizer.evaluate_object(
-            imgs, poses, focal, exclude_views=[1],
-            shape_code=res.shape_code, texture_code=res.texture_code,
-            key=k_eval, return_images=True,
-        )
-        rows.append((f"heldout_{i}", float(ev["psnr"].mean()),
-                     float(ev["ssim"].mean()),
-                     float(res.psnr_history[0]), float(res.psnr_history[-1])))
-        strip = side_by_side(ev["images"][:3], imgs[ev["views"][:3]])
-        save_png(os.path.join(out_dir, f"heldout_{i}.png"), strip)
-        print(f"[seed {seed}] object {i}: eval psnr {rows[-1][1]:.2f} dB, "
-              f"ssim {rows[-1][2]:.4f}", flush=True)
+    group = max(1, args.opt_group)
+    if group == 1:
+        for i in range(args.n_test_objects):
+            oi = args.n_train_objects + i
+            imgs = scene["images"][oi].astype(np.float32) / 255.0
+            poses = scene["poses"][oi]
+            focal = float(scene["focals"][oi])
+            key, k_opt, k_eval = jax.random.split(key, 3)
+            res = optimizer.optimize_object(
+                imgs, poses, focal, tgt_views=[1], key=k_opt,
+                num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
+            )
+            want_img = i < args.save_images
+            ev = optimizer.evaluate_object(
+                imgs, poses, focal, exclude_views=[1],
+                shape_code=res.shape_code, texture_code=res.texture_code,
+                key=k_eval, return_images=want_img,
+            )
+            rows.append((f"heldout_{i}", float(ev["psnr"].mean()),
+                         float(ev["ssim"].mean()),
+                         float(res.psnr_history[0]),
+                         float(res.psnr_history[-1])))
+            if want_img:
+                strip = side_by_side(ev["images"][:3], imgs[ev["views"][:3]])
+                save_png(os.path.join(out_dir, f"heldout_{i}.png"), strip)
+            print(f"[seed {seed}] object {i}: eval psnr {rows[-1][1]:.2f} "
+                  f"dB, ssim {rows[-1][2]:.4f}", flush=True)
+    else:
+        # Batched path: G objects per dispatch (one jitted optimization
+        # scan + one jitted eval sweep per group); per-object keys follow
+        # the same split pattern as the sequential loop, so results are
+        # object-for-object comparable across --opt_group settings.
+        for start in range(0, args.n_test_objects, group):
+            idx = list(range(start, min(start + group,
+                                        args.n_test_objects)))
+            ois = [args.n_train_objects + i for i in idx]
+            imgs_g = scene["images"][ois].astype(np.float32) / 255.0
+            poses_g = scene["poses"][ois]
+            focals_g = scene["focals"][ois]
+            k_opts, k_evals = [], []
+            for _ in idx:
+                key, k_opt, k_eval = jax.random.split(key, 3)
+                k_opts.append(k_opt)
+                k_evals.append(k_eval)
+            res = optimizer.optimize_objects(
+                imgs_g, poses_g, focals_g, tgt_views=[1],
+                keys=jax.numpy.stack(k_opts),
+                num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
+            )
+            want_img = idx[0] < args.save_images
+            ev = optimizer.evaluate_objects(
+                imgs_g, poses_g, focals_g, exclude_views=[1],
+                shape_codes=res.shape_codes,
+                texture_codes=res.texture_codes,
+                keys=jax.numpy.stack(k_evals), return_images=want_img,
+            )
+            for j, i in enumerate(idx):
+                rows.append((f"heldout_{i}", float(ev["psnr"][j].mean()),
+                             float(ev["ssim"][j].mean()),
+                             float(res.psnr_history[0, j]),
+                             float(res.psnr_history[-1, j])))
+                if i < args.save_images and want_img:
+                    strip = side_by_side(ev["images"][j][:3],
+                                         imgs_g[j][ev["views"][:3]])
+                    save_png(os.path.join(out_dir, f"heldout_{i}.png"),
+                             strip)
+            done = rows[-len(idx):]
+            print(f"[seed {seed}] objects {idx[0]}..{idx[-1]}: eval psnr "
+                  f"{np.mean([r[1] for r in done]):.2f} dB, ssim "
+                  f"{np.mean([r[2] for r in done]):.4f}", flush=True)
 
     test_time = time.time() - t_test0
     mean_psnr = float(np.mean([r[1] for r in rows]))
@@ -131,6 +179,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"{args.size}x{args.size} images, {args.n_train_objects} train / "
             f"{args.n_test_objects} held-out objects, {args.n_views} views, "
             f"seed {seed}\n"
+            f"- geometry: {args.geometry}\n"
             f"- kernels/sampling: use_fused={args.use_fused}, "
             f"bound_radius={args.bound_radius}, occupancy={args.occ}, "
             f"n_importance={args.n_importance}\n"
@@ -182,6 +231,20 @@ def main() -> None:
     ap.add_argument("--occ", action="store_true",
                     help="training-time occupancy-grid sampling "
                          "(requires --bound_radius)")
+    ap.add_argument("--geometry", type=str, default="sphere",
+                    choices=["sphere", "chair"],
+                    help="synthetic category: shaded spheres (cars-like "
+                         "blob) or compound box chairs (thin legs + slabs "
+                         "— the srnchair-style stress case)")
+    ap.add_argument("--opt_group", type=int, default=1,
+                    help="test objects optimized+evaluated per dispatch "
+                         "(batched multi-object code-opt; 1 = sequential "
+                         "per-object path). Results are object-for-object "
+                         "comparable across settings.")
+    ap.add_argument("--save_images", type=int, default=8,
+                    help="write side-by-side PNGs for the first N test "
+                         "objects only (at 704 objects the per-object "
+                         "image D2H + PNG encode dominates)")
     ap.add_argument("--codes_per_update", type=int, default=8,
                     help="objects refreshed per occupancy update; scale "
                          "up for large categories (the config warns when "
