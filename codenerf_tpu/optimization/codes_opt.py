@@ -175,6 +175,10 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                num_opts: int, lr: float, lr_half_interval: int,
                reference_resets: bool, use_fused: Optional[bool],
                progress_rays: int = 0):
+    # ``occ`` rides every run as a jit ARGUMENT (None = empty pytree, no
+    # leaves): a closed-over device-array grid would re-stage per call
+    # (CLAUDE.md measurement trap c), and an argument lets one compiled
+    # run serve any grid of the same shape.
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
 
@@ -206,7 +210,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                      eps=1e-8, weight_decay=hp.weight_decay)
 
     def loss_fn(codes, step_key, params, fine_params, ro_c, vd_c, gt_c,
-                mask_c):
+                mask_c, occ):
         shape_code, texture_code = codes
 
         def body(carry, xs):
@@ -215,6 +219,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 params, net_cfg, rcfg, ro, vd, shape_code, texture_code, k,
                 fine_params=fine_params, compute_dtype=compute_dtype,
                 apply_fn=apply_fn, composite_fn=composite_fn,
+                occ_grid=occ,
             )
             # Final-pass SE (the reported metric) and the optimized SE
             # (adds the coarse head under hierarchical sampling) are
@@ -264,7 +269,8 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
         scale = 1.0 / (n_rays * 3.0)
         f32 = jnp.float32
 
-        def sp_value_and_grad(codes, step_key, params, ro_c, vd_c, gt_c):
+        def sp_value_and_grad(codes, step_key, params, ro_c, vd_c, gt_c,
+                              occ):
             wflat = [jax.lax.stop_gradient(w)
                      for w in ft_mod.flatten_params_f32(params, net_cfg)]
             want_prog = bool(progress_rays)
@@ -272,7 +278,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
             def chunk_body(carry, xs):
                 fin_se, opt_se, g_acc = carry
                 ro, vd, gt, k = xs
-                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k)
+                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k, occ_grid=occ)
                 ro8 = fused_mlp._pad_lanes(ro.astype(f32), 8)
                 vd8 = fused_mlp._pad_lanes(vd.astype(f32), 8)
                 gt8 = fused_mlp._pad_lanes(gt.astype(f32), 8)
@@ -346,7 +352,8 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
             return (loss, (fin_se * scale, progress)), grads
 
     @jax.jit
-    def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key):
+    def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key,
+            occ):
         opt_state0 = tx.init(codes0)
 
         def step(carry, xs):
@@ -361,12 +368,12 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 )
             if use_single_pass:
                 (_, (mse, progress)), grads = sp_value_and_grad(
-                    codes, step_key, params, ro_c, vd_c, gt_c)
+                    codes, step_key, params, ro_c, vd_c, gt_c, occ)
             else:
                 (_, (mse, progress)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
                     codes, step_key, params, fine_params, ro_c, vd_c,
-                    gt_c, mask_c,
+                    gt_c, mask_c, occ,
                 )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
@@ -399,6 +406,7 @@ def optimize_codes(
     reference_resets: bool = False,
     use_fused: Optional[bool] = None,
     progress_rays: int = 0,
+    occ_grid=None,
 ) -> OptimizationResult:
     """Optimize one object's codes against flat target rays. Fully jitted;
     the compiled optimization is cached across calls (same ray count and
@@ -421,7 +429,8 @@ def optimize_codes(
     progress_rays = min(int(progress_rays), n_rays)
     cache_key = (dataclasses.replace(hp, raw=None), n_rays, chunk, n_chunks,
                  num_opts, lr, lr_half_interval, reference_resets,
-                 use_fused, fine_params is None, progress_rays)
+                 use_fused, fine_params is None, progress_rays,
+                 occ_grid is None)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run(
             hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,
@@ -442,7 +451,7 @@ def optimize_codes(
     (shape_code, texture_code), history, progress = run(
         params, fine_params, ro_c, vd_c, gt_c, mask_c,
         (init_shape.astype(jnp.float32), init_texture.astype(jnp.float32)),
-        key,
+        key, occ_grid,
     )
     return OptimizationResult(shape_code, texture_code, history,
                               progress if progress_rays else None)
@@ -500,7 +509,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
         return jnp.sum(norms)
 
     def loss_fn(codes, chunk_keys, params, fine_params, ro_c, vd_c, gt_c,
-                mask_c, gi_c):
+                mask_c, gi_c, occ):
         sc_t, tc_t = codes
 
         def body(carry, xs):
@@ -511,6 +520,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                 params, net_cfg, rcfg, ro, vd, shape_code, tex_code, k,
                 fine_params=fine_params, compute_dtype=compute_dtype,
                 apply_fn=apply_fn, composite_fn=composite_fn,
+                occ_grid=occ,
             )
             fin_se_v, opt_se = carry
             se = jnp.sum(m[:, None] * (res.final.rgb - gt) ** 2)
@@ -536,7 +546,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
         f32 = jnp.float32
 
         def sp_value_and_grad(codes, chunk_keys, params, ro_c, vd_c, gt_c,
-                              gi_c):
+                              gi_c, occ):
             sc_t, tc_t = codes
             wflat = [jax.lax.stop_gradient(w)
                      for w in ft_mod.flatten_params_f32(params, net_cfg)]
@@ -544,7 +554,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
             def chunk_body(carry, xs):
                 fin_se_v, g_acc = carry
                 ro, vd, gt, gi, k = xs
-                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k)
+                z2d, key_fine = coarse_zvals(rcfg, ro, vd, k, occ_grid=occ)
                 ro8 = fused_mlp._pad_lanes(ro.astype(f32), 8)
                 vd8 = fused_mlp._pad_lanes(vd.astype(f32), 8)
                 gt8 = fused_mlp._pad_lanes(gt.astype(f32), 8)
@@ -601,7 +611,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
 
     @jax.jit
     def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0,
-            keys_g):
+            keys_g, occ):
         opt_state0 = tx.init(codes0)
         # Per-object step keys reproduce the standalone runs bitwise:
         # object g's stream is split(key_g, num_opts), and each step key
@@ -625,12 +635,12 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
             chunk_keys = chunk_keys.reshape(G * nc_obj, *chunk_keys.shape[2:])
             if use_single_pass:
                 mse_v, grads = sp_value_and_grad(
-                    codes, chunk_keys, params, ro_c, vd_c, gt_c, gi_c)
+                    codes, chunk_keys, params, ro_c, vd_c, gt_c, gi_c, occ)
             else:
                 (_, mse_v), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
                     codes, chunk_keys, params, fine_params, ro_c, vd_c,
-                    gt_c, mask_c, gi_c,
+                    gt_c, mask_c, gi_c, occ,
                 )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
@@ -661,6 +671,7 @@ def optimize_codes_batch(
     fine_params=None,
     reference_resets: bool = False,
     use_fused: Optional[bool] = None,
+    occ_grid=None,
 ) -> BatchedOptimizationResult:
     """Optimize G objects' codes in ONE jitted dispatch.
 
@@ -676,7 +687,8 @@ def optimize_codes_batch(
     nc_obj = n_padded // chunk
     cache_key = ("batch", dataclasses.replace(hp, raw=None), G, n_rays,
                  chunk, nc_obj, num_opts, lr, lr_half_interval,
-                 reference_resets, use_fused, fine_params is None)
+                 reference_resets, use_fused, fine_params is None,
+                 occ_grid is None)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run_batch(
             hp, G, n_rays, chunk, nc_obj, num_opts, lr, lr_half_interval,
@@ -705,7 +717,8 @@ def optimize_codes_batch(
         jnp.broadcast_to(init_texture.astype(jnp.float32), (G, D_t)),
     )
     (shape_codes, texture_codes), history = run(
-        params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0, keys)
+        params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0, keys,
+        occ_grid)
     return BatchedOptimizationResult(shape_codes, texture_codes, history)
 
 
@@ -730,8 +743,19 @@ class CodeOptimizer:
     # None defers to hp.use_fused_train (with automatic XLA fallback when
     # the architecture/chunk can't tile); True forces, False disables.
     use_fused: Optional[bool] = None
+    # Optional category OccupancyGrid (e.g. Trainer.occupancy_grid): the
+    # trained category's max-union occupancy is a conservative bound for
+    # unseen same-category objects, so test-time optimization gets the
+    # same empty-space skipping training had. Rides every jitted call as
+    # an argument (never a closed-over constant).
+    occ_grid: Optional[object] = None
 
     def __post_init__(self):
+        if self.occ_grid is not None and self.hp.render.shared_jitter:
+            raise ValueError(
+                "occ_grid requires per-ray sampling: shared_jitter is one "
+                "global [near, far] slab and would silently ignore the "
+                "grid")
         self._eval_fn = None
         self._eval_key = None  # (H, W, chunk) the cached eval fn was built for
         self._eval_multi_fn = None
@@ -764,6 +788,7 @@ class CodeOptimizer:
             reference_resets=self.reference_resets,
             use_fused=self.use_fused,
             progress_rays=H * W if progress_images else 0,
+            occ_grid=self.occ_grid,
         )
         if progress_images:
             res = res._replace(
@@ -780,7 +805,7 @@ class CodeOptimizer:
 
         chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
 
-        def eval_view(c2w, focal, gt, shape_code, texture_code, key):
+        def eval_view(c2w, focal, gt, shape_code, texture_code, key, occ):
             ro, vd = camera_rays(H, W, focal, c2w)
             ro_c = pad_rays(ro, n_padded).reshape(n_chunks, chunk, 3)
             vd_c = pad_rays(vd, n_padded).reshape(n_chunks, chunk, 3)
@@ -793,6 +818,7 @@ class CodeOptimizer:
                     shape_code, texture_code,
                     None if deterministic else k,
                     fine_params=self.fine_params, compute_dtype=compute_dtype,
+                    occ_grid=occ,
                 )
                 return res.final.rgb
 
@@ -812,13 +838,15 @@ class CodeOptimizer:
         # per-view round-trips; rendered images stay device-side unless
         # the caller asks for them.
         @jax.jit
-        def eval_views(c2ws, focal, gts, shape_code, texture_code, key):
+        def eval_views(c2ws, focal, gts, shape_code, texture_code, key,
+                       occ):
             V = c2ws.shape[0]
             keys = jax.random.split(key, V)
 
             def one(xs):
                 c2w, gt, k = xs
-                return eval_view(c2w, focal, gt, shape_code, texture_code, k)
+                return eval_view(c2w, focal, gt, shape_code, texture_code,
+                                 k, occ)
 
             return jax.lax.map(one, (c2ws, gts, keys))
 
@@ -832,13 +860,13 @@ class CodeOptimizer:
         # PRNG stream (split(key_g, V)) so per-view z-jitter matches the
         # sequential evaluate_object calls exactly.
         @jax.jit
-        def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g):
+        def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g, occ):
             G, V = c2ws.shape[:2]
             keys = jax.vmap(lambda kg: jax.random.split(kg, V))(keys_g)
 
             def one(xs):
                 c2w, f, gt, sc, tc, k = xs
-                return eval_view(c2w, f, gt, sc, tc, k)
+                return eval_view(c2w, f, gt, sc, tc, k, occ)
 
             rgb, p, s = jax.lax.map(one, (
                 c2ws.reshape(G * V, *c2ws.shape[2:]),
@@ -881,6 +909,7 @@ class CodeOptimizer:
             chunk=self.chunk, fine_params=self.fine_params,
             reference_resets=self.reference_resets,
             use_fused=self.use_fused,
+            occ_grid=self.occ_grid,
         )
 
     def evaluate_objects(
@@ -912,7 +941,7 @@ class CodeOptimizer:
             jnp.asarray(poses[:, idxs]),
             jnp.asarray(focals, dtype=jnp.float32),
             jnp.asarray(images[:, idxs], dtype=jnp.float32),
-            shape_codes, texture_codes, keys,
+            shape_codes, texture_codes, keys, self.occ_grid,
         )
         out = {
             "views": np.asarray(idxs),
@@ -950,7 +979,7 @@ class CodeOptimizer:
         rgb, p, s = self._eval_fn(
             jnp.asarray(poses[idxs]), jnp.asarray(focal),
             jnp.asarray(images[idxs], dtype=jnp.float32),
-            shape_code, texture_code, key,
+            shape_code, texture_code, key, self.occ_grid,
         )
         out = {
             "views": np.asarray(idxs),

@@ -271,6 +271,15 @@ class Trainer:
             self.ckpt_dir, self.state, int(self.state.step)
         )
 
+    @property
+    def occupancy_grid(self):
+        """The live category occupancy grid (None when train_occupancy is
+        off). The category-level max-union over trained codes is a valid
+        conservative bound for UNSEEN objects of the same category too, so
+        test-time optimization (CodeOptimizer ``occ_grid=``) can reuse it
+        for empty-space skipping."""
+        return self._occ
+
     def resume(self) -> bool:
         """Restore the latest checkpoint if one exists. Returns True if
         restored."""

@@ -152,6 +152,70 @@ def test_batched_objects_padded_rays(trained):
                                    np.asarray(seq.psnr_history), atol=1e-3)
 
 
+def test_codes_opt_with_occupancy_grid(trained):
+    """Codes-opt with a category occupancy grid: the grid must actually
+    change sample placement (z-intervals tighten), the optimization must
+    stay finite and effective, and the batched path must keep per-object
+    parity with the sequential one under the grid."""
+    import jax.numpy as jnp
+
+    from codenerf_tpu.core.occupancy import OccupancyGrid, grid_cell_centers
+    from codenerf_tpu.optimization import codes_opt
+
+    opt, tr, scene, hp = _make_optimizer(trained)
+    G = 12
+    centers = grid_cell_centers(G, 1.4).reshape(G, G, G, 3)
+    occ = jnp.linalg.norm(centers, axis=-1) < 1.1
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.4, jnp.float32))
+
+    imgs = np.stack([_images_f32(scene, o) for o in (0, 1)])
+    poses = np.stack([scene["poses"][o] for o in (0, 1)])
+    focals = np.asarray([scene["focals"][0], scene["focals"][1]], np.float32)
+    ro, vd, gt = codes_opt._flat_target_rays_multi(
+        imgs, poses, focals, [0], 16, 16)
+    keys = jnp.stack([jax.random.PRNGKey(3), jax.random.PRNGKey(4)])
+    kwargs = dict(num_opts=8, lr=1e-2, lr_half_interval=4, chunk=256)
+
+    batch = codes_opt.optimize_codes_batch(
+        opt.params, hp, ro, vd, gt, opt.mean_shape, opt.mean_texture,
+        keys, occ_grid=grid, **kwargs)
+    assert np.isfinite(np.asarray(batch.psnr_history)).all()
+    for g in range(2):
+        seq = codes_opt.optimize_codes(
+            opt.params, hp, ro[g], vd[g], gt[g], opt.mean_shape,
+            opt.mean_texture, keys[g], occ_grid=grid, **kwargs)
+        np.testing.assert_allclose(np.asarray(batch.shape_codes[g]),
+                                   np.asarray(seq.shape_code), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch.psnr_history[:, g]),
+                                   np.asarray(seq.psnr_history), atol=1e-3)
+    # the grid changes the trajectory vs no-grid (sample placement moved)
+    no_grid = codes_opt.optimize_codes(
+        opt.params, hp, ro[0], vd[0], gt[0], opt.mean_shape,
+        opt.mean_texture, keys[0], **kwargs)
+    assert not np.allclose(np.asarray(no_grid.shape_code),
+                           np.asarray(batch.shape_codes[0]))
+    # driver plumbing: a CodeOptimizer with the grid evaluates finitely
+    opt_occ = CodeOptimizer(
+        params=opt.params, hp=hp, mean_shape=opt.mean_shape,
+        mean_texture=opt.mean_texture, chunk=256, occ_grid=grid)
+    ev = opt_occ.evaluate_object(
+        imgs[0], poses[0], float(focals[0]), exclude_views=[0],
+        shape_code=batch.shape_codes[0], texture_code=batch.texture_codes[0],
+        key=jax.random.PRNGKey(9))
+    assert np.isfinite(ev["psnr"]).all()
+
+    import dataclasses as dc
+    import pytest
+
+    with pytest.raises(ValueError):
+        CodeOptimizer(
+            params=opt.params,
+            hp=dc.replace(hp, render=dc.replace(hp.render,
+                                                shared_jitter=True)),
+            mean_shape=opt.mean_shape, mean_texture=opt.mean_texture,
+            occ_grid=grid)
+
+
 def test_pose_optimization_recovers_perturbation(trained):
     opt, tr, scene, hp = _make_optimizer(trained)
     obj, view = 0, 2

@@ -87,12 +87,24 @@ def run_once(args, seed: int, out_dir: str) -> dict:
           f"final train psnr {m['psnr']:.2f} dB", flush=True)
 
     tr = trainer.state.trainables
-    optimizer = CodeOptimizer(
-        params=tr["params"], hp=hp,
-        mean_shape=mean_code(tr["shape_codes"]),
-        mean_texture=mean_code(tr["texture_codes"]),
-        chunk=4096,
-    )
+    import dataclasses
+
+    opt_hp = hp
+    if args.opt_samples:
+        opt_hp = dataclasses.replace(
+            hp, render=dataclasses.replace(hp.render,
+                                           n_samples=args.opt_samples))
+    occ = trainer.occupancy_grid if args.opt_occ else None
+    mk = dict(params=tr["params"],
+              mean_shape=mean_code(tr["shape_codes"]),
+              mean_texture=mean_code(tr["texture_codes"]),
+              chunk=4096)
+    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ, **mk)
+    # Held-out metrics stay comparable across rows: evaluation always
+    # renders the full sample budget without the grid, whatever the
+    # optimization loop used.
+    evaluator = (optimizer if (opt_hp is hp and occ is None)
+                 else CodeOptimizer(hp=hp, **mk))
 
     rows = []
     t_test0 = time.time()
@@ -110,7 +122,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                 num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
             )
             want_img = i < args.save_images
-            ev = optimizer.evaluate_object(
+            ev = evaluator.evaluate_object(
                 imgs, poses, focal, exclude_views=[1],
                 shape_code=res.shape_code, texture_code=res.texture_code,
                 key=k_eval, return_images=want_img,
@@ -147,7 +159,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                 num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
             )
             want_img = idx[0] < args.save_images
-            ev = optimizer.evaluate_objects(
+            ev = evaluator.evaluate_objects(
                 imgs_g, poses_g, focals_g, exclude_views=[1],
                 shape_codes=res.shape_codes,
                 texture_codes=res.texture_codes,
@@ -182,7 +194,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"- geometry: {args.geometry}\n"
             f"- kernels/sampling: use_fused={args.use_fused}, "
             f"bound_radius={args.bound_radius}, occupancy={args.occ}, "
-            f"n_importance={args.n_importance}\n"
+            f"n_importance={args.n_importance}, opt_occ={args.opt_occ}, "
+            f"opt_samples={args.opt_samples or args.samples}\n"
             f"- training: {args.steps} steps (crop->full), "
             f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
@@ -231,6 +244,15 @@ def main() -> None:
     ap.add_argument("--occ", action="store_true",
                     help="training-time occupancy-grid sampling "
                          "(requires --bound_radius)")
+    ap.add_argument("--opt_occ", action="store_true",
+                    help="reuse the trained category occupancy grid for "
+                         "test-time code optimization (empty-space "
+                         "skipping at opt time; requires --occ). Held-out "
+                         "eval still renders without the grid.")
+    ap.add_argument("--opt_samples", type=int, default=None,
+                    help="sample budget for the optimization loop only "
+                         "(eval keeps --samples); with --opt_occ the grid "
+                         "concentrates a smaller budget on the object")
     ap.add_argument("--geometry", type=str, default="sphere",
                     choices=["sphere", "chair"],
                     help="synthetic category: shaded spheres (cars-like "
