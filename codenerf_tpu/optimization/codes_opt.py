@@ -174,13 +174,33 @@ def safe_code_norm(x: jnp.ndarray) -> jnp.ndarray:
 def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                num_opts: int, lr: float, lr_half_interval: int,
                reference_resets: bool, use_fused: Optional[bool],
-               progress_rays: int = 0):
+               progress_rays: int = 0,
+               rays_per_step: Optional[int] = None):
     # ``occ`` rides every run as a jit ARGUMENT (None = empty pytree, no
     # leaves): a closed-over device-array grid would re-stage per call
     # (CLAUDE.md measurement trap c), and an argument lets one compiled
     # run serve any grid of the same shape.
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
+
+    # STOCHASTIC ray subsampling (late round 3): instead of scanning the
+    # full target-ray set every step (the reference protocol renders the
+    # whole view per step, ``src/optimizer.py:79,117``), draw
+    # ``rays_per_step`` rays uniformly (with replacement) per step and take
+    # one SGD step on that minibatch. The model is frozen and only two
+    # code vectors move, so the minibatch gradient is an unbiased,
+    # low-variance estimate — this cuts test-time-optimization FLOPs by
+    # n_rays/rays_per_step. ``psnr_history`` then reports minibatch PSNR
+    # (noisier than full-view PSNR; the final eval metric is unaffected).
+    stochastic = rays_per_step is not None and rays_per_step < n_rays
+    if stochastic:
+        if progress_rays:
+            raise ValueError(
+                "progress renders need the full-view rays every step; "
+                "rays_per_step subsampling and progress_rays are mutually "
+                "exclusive")
+        chunk, n_chunks = int(rays_per_step), 1
+    loss_rays = chunk if stochastic else n_rays
 
     # SINGLE-PASS route (late round 3): the frozen-model variant of the
     # training loss kernel. Gated on pad-free chunking (the in-kernel MSE
@@ -194,7 +214,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
     use_single_pass = (
         want_fused and hp.fused_composite
         and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
-        and n_chunks * chunk == n_rays
+        and (stochastic or n_chunks * chunk == n_rays)
         and _ft.single_pass_available(net_cfg, chunk)
     )
     apply_fn = composite_fn = None
@@ -244,7 +264,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
             (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
             (ro_c, vd_c, gt_c, mask_c, keys),
         )
-        scale = 1.0 / (n_rays * 3.0)
+        scale = 1.0 / (loss_rays * 3.0)
         reg = safe_code_norm(shape_code) + safe_code_norm(texture_code)
         progress = (rgb_chunks.reshape(-1, 3)[:progress_rays]
                     if progress_rays else jnp.zeros((0, 3), jnp.float32))
@@ -266,7 +286,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
         from codenerf_tpu.renderer import coarse_zvals
 
         hier = rcfg.n_importance > 0
-        scale = 1.0 / (n_rays * 3.0)
+        scale = 1.0 / (loss_rays * 3.0)
         f32 = jnp.float32
 
         def sp_value_and_grad(codes, step_key, params, ro_c, vd_c, gt_c,
@@ -355,6 +375,14 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
     def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, codes0, key,
             occ):
         opt_state0 = tx.init(codes0)
+        if stochastic:
+            # Flatten the (possibly padded) chunked transport layout back
+            # to the real ray pool once; each step gathers its minibatch
+            # from it (pad rows are excluded by the index range).
+            ro_f = ro_c.reshape(-1, ro_c.shape[-1])[:n_rays]
+            vd_f = vd_c.reshape(-1, vd_c.shape[-1])[:n_rays]
+            gt_f = gt_c.reshape(-1, gt_c.shape[-1])[:n_rays]
+            ones_mask = jnp.ones((1, chunk), jnp.float32)
 
         def step(carry, xs):
             step_idx, step_key = xs
@@ -366,14 +394,23 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                     step_idx % lr_half_interval == 0,
                     reset_adam_state, lambda s: s, opt_state,
                 )
+            if stochastic:
+                k_sel, step_key = jax.random.split(step_key)
+                idx = jax.random.randint(k_sel, (chunk,), 0, n_rays)
+                ro_b = ro_f[idx][None]
+                vd_b = vd_f[idx][None]
+                gt_b = gt_f[idx][None]
+                mask_b = ones_mask
+            else:
+                ro_b, vd_b, gt_b, mask_b = ro_c, vd_c, gt_c, mask_c
             if use_single_pass:
                 (_, (mse, progress)), grads = sp_value_and_grad(
-                    codes, step_key, params, ro_c, vd_c, gt_c, occ)
+                    codes, step_key, params, ro_b, vd_b, gt_b, occ)
             else:
                 (_, (mse, progress)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                    codes, step_key, params, fine_params, ro_c, vd_c,
-                    gt_c, mask_c, occ,
+                    codes, step_key, params, fine_params, ro_b, vd_b,
+                    gt_b, mask_b, occ,
                 )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
@@ -407,6 +444,7 @@ def optimize_codes(
     use_fused: Optional[bool] = None,
     progress_rays: int = 0,
     occ_grid=None,
+    rays_per_step: Optional[int] = None,
 ) -> OptimizationResult:
     """Optimize one object's codes against flat target rays. Fully jitted;
     the compiled optimization is cached across calls (same ray count and
@@ -418,23 +456,37 @@ def optimize_codes(
     identical either way since halvings align with the reset windows.
 
     ``use_fused`` (default: ``hp.use_fused_train``) runs each step's
-    forward+backward through the codes-only fused Pallas kernels."""
+    forward+backward through the codes-only fused Pallas kernels.
+
+    ``rays_per_step`` switches to STOCHASTIC optimization: each step draws
+    that many rays uniformly from the target set instead of rendering all
+    of them (the reference renders the full view every step) — an
+    n_rays/rays_per_step FLOP cut on a frozen model where the minibatch
+    gradient of two code vectors is plenty. ``psnr_history`` then reports
+    minibatch PSNR. Mutually exclusive with ``progress_rays``."""
     from codenerf_tpu.renderer import chunk_plan
 
     n_rays = ray_o.shape[0]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
     n_chunks = n_padded // chunk
+    if rays_per_step is not None and int(rays_per_step) >= n_rays:
+        rays_per_step = None  # full view — the exact (reference) protocol
+    if rays_per_step is not None:
+        rays_per_step = int(rays_per_step)
+        if rays_per_step <= 0:
+            raise ValueError(f"rays_per_step must be positive, got "
+                             f"{rays_per_step}")
     # hp.raw (the original JSON dict) is unhashable and irrelevant to the
     # compiled program — key on the typed config only.
     progress_rays = min(int(progress_rays), n_rays)
     cache_key = (dataclasses.replace(hp, raw=None), n_rays, chunk, n_chunks,
                  num_opts, lr, lr_half_interval, reference_resets,
                  use_fused, fine_params is None, progress_rays,
-                 occ_grid is None)
+                 occ_grid is None, rays_per_step)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run(
             hp, n_rays, chunk, n_chunks, num_opts, lr, lr_half_interval,
-            reference_resets, use_fused, progress_rays)
+            reference_resets, use_fused, progress_rays, rays_per_step)
         while len(_RUN_CACHE) > _RUN_CACHE_MAX:
             _RUN_CACHE.popitem(last=False)
     else:
@@ -466,7 +518,8 @@ class BatchedOptimizationResult(NamedTuple):
 def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                      nc_obj: int, num_opts: int, lr: float,
                      lr_half_interval: int, reference_resets: bool,
-                     use_fused: Optional[bool]):
+                     use_fused: Optional[bool],
+                     rays_per_step: Optional[int] = None):
     """Multi-object variant of :func:`_build_run`: ``G`` objects' target
     rays ride ONE jitted optimization scan instead of ``G`` sequential
     dispatches (the reference protocol loops hundreds of test objects,
@@ -482,13 +535,23 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
     compute_dtype = resolve_dtype(hp.compute_dtype)
     G = n_objs
 
+    # Stochastic minibatch variant — same semantics as in
+    # :func:`_build_run`, per object: each step draws ``rays_per_step``
+    # rays from each object's own pool with that object's own PRNG
+    # stream, so row ``g`` still bitwise-follows the standalone
+    # stochastic run.
+    stochastic = rays_per_step is not None and rays_per_step < n_rays
+    if stochastic:
+        chunk, nc_obj = int(rays_per_step), 1
+    loss_rays = chunk if stochastic else n_rays
+
     from codenerf_tpu.ops import fused_train as _ft
 
     want_fused = hp.use_fused_train if use_fused is None else use_fused
     use_single_pass = (
         want_fused and hp.fused_composite
         and (rcfg.n_importance == 0 or rcfg.share_fine_weights)
-        and nc_obj * chunk == n_rays
+        and (stochastic or nc_obj * chunk == n_rays)
         and _ft.single_pass_available(net_cfg, chunk)
     )
     apply_fn = composite_fn = None
@@ -500,7 +563,7 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
 
     tx = optax.adamw(step_halving(lr, lr_half_interval), b1=0.9, b2=0.999,
                      eps=1e-8, weight_decay=hp.weight_decay)
-    scale = 1.0 / (n_rays * 3.0)
+    scale = 1.0 / (loss_rays * 3.0)
 
     def rows_reg(codes):
         sc_t, tc_t = codes
@@ -619,6 +682,13 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
         # _build_run derives for a single object.
         step_keys = jax.vmap(
             lambda kg: jax.random.split(kg, num_opts))(keys_g)  # (G, T, 2)
+        if stochastic:
+            dim = ro_c.shape[-1]
+            ro_f = ro_c.reshape(G, -1, dim)[:, :n_rays]
+            vd_f = vd_c.reshape(G, -1, dim)[:, :n_rays]
+            gt_f = gt_c.reshape(G, -1, gt_c.shape[-1])[:, :n_rays]
+            gi_b = jnp.arange(G, dtype=jnp.int32)
+            ones_mask = jnp.ones((G, chunk), jnp.float32)
 
         def step(carry, xs):
             step_idx, sk_g = xs
@@ -630,17 +700,35 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                     step_idx % lr_half_interval == 0,
                     reset_adam_state, lambda s: s, opt_state,
                 )
-            chunk_keys = jax.vmap(
-                lambda k: jax.random.split(k, nc_obj))(sk_g)
-            chunk_keys = chunk_keys.reshape(G * nc_obj, *chunk_keys.shape[2:])
+            if stochastic:
+                # Same two-level split as the standalone stochastic step:
+                # (k_sel, rest) = split(step_key); chunk key = split(rest, 1).
+                ks2 = jax.vmap(jax.random.split)(sk_g)  # (G, 2, 2)
+                idx_g = jax.vmap(
+                    lambda k: jax.random.randint(k, (chunk,), 0, n_rays)
+                )(ks2[:, 0])
+                ro_b = jax.vmap(lambda a, i: a[i])(ro_f, idx_g)
+                vd_b = jax.vmap(lambda a, i: a[i])(vd_f, idx_g)
+                gt_b = jax.vmap(lambda a, i: a[i])(gt_f, idx_g)
+                mask_b, gi_v = ones_mask, gi_b
+                chunk_keys = jax.vmap(
+                    lambda k: jax.random.split(k, 1))(ks2[:, 1])
+                chunk_keys = chunk_keys.reshape(G, *chunk_keys.shape[2:])
+            else:
+                ro_b, vd_b, gt_b = ro_c, vd_c, gt_c
+                mask_b, gi_v = mask_c, gi_c
+                chunk_keys = jax.vmap(
+                    lambda k: jax.random.split(k, nc_obj))(sk_g)
+                chunk_keys = chunk_keys.reshape(G * nc_obj,
+                                                *chunk_keys.shape[2:])
             if use_single_pass:
                 mse_v, grads = sp_value_and_grad(
-                    codes, chunk_keys, params, ro_c, vd_c, gt_c, gi_c, occ)
+                    codes, chunk_keys, params, ro_b, vd_b, gt_b, gi_v, occ)
             else:
                 (_, mse_v), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
-                    codes, chunk_keys, params, fine_params, ro_c, vd_c,
-                    gt_c, mask_c, gi_c, occ,
+                    codes, chunk_keys, params, fine_params, ro_b, vd_b,
+                    gt_b, mask_b, gi_v, occ,
                 )
             updates, opt_state = tx.update(grads, opt_state, codes)
             codes = optax.apply_updates(codes, updates)
@@ -672,6 +760,7 @@ def optimize_codes_batch(
     reference_resets: bool = False,
     use_fused: Optional[bool] = None,
     occ_grid=None,
+    rays_per_step: Optional[int] = None,
 ) -> BatchedOptimizationResult:
     """Optimize G objects' codes in ONE jitted dispatch.
 
@@ -679,20 +768,29 @@ def optimize_codes_batch(
     ``g`` alone with ``key=keys[g]`` (same chunking): per-object math, RNG
     streams, and Adam state are independent by construction, so batching
     changes wall-clock only. Per-step progress renders are not supported
-    here — use the per-object path for those."""
+    here — use the per-object path for those. ``rays_per_step`` enables
+    the same stochastic minibatch optimization as :func:`optimize_codes`
+    (row ``g`` bitwise-follows the standalone stochastic run)."""
     from codenerf_tpu.renderer import chunk_plan, pad_rays
 
     G, n_rays = ray_o.shape[:2]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
     nc_obj = n_padded // chunk
+    if rays_per_step is not None and int(rays_per_step) >= n_rays:
+        rays_per_step = None
+    if rays_per_step is not None:
+        rays_per_step = int(rays_per_step)
+        if rays_per_step <= 0:
+            raise ValueError(f"rays_per_step must be positive, got "
+                             f"{rays_per_step}")
     cache_key = ("batch", dataclasses.replace(hp, raw=None), G, n_rays,
                  chunk, nc_obj, num_opts, lr, lr_half_interval,
                  reference_resets, use_fused, fine_params is None,
-                 occ_grid is None)
+                 occ_grid is None, rays_per_step)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run_batch(
             hp, G, n_rays, chunk, nc_obj, num_opts, lr, lr_half_interval,
-            reference_resets, use_fused)
+            reference_resets, use_fused, rays_per_step)
         while len(_RUN_CACHE) > _RUN_CACHE_MAX:
             _RUN_CACHE.popitem(last=False)
     else:
@@ -749,6 +847,11 @@ class CodeOptimizer:
     # same empty-space skipping training had. Rides every jitted call as
     # an argument (never a closed-over constant).
     occ_grid: Optional[object] = None
+    # Stochastic minibatch optimization: rays drawn per opt step instead
+    # of rendering the full target view(s) every step (None = the exact
+    # reference protocol). Cuts opt FLOPs by n_target_rays/opt_rays; the
+    # eval protocol is unaffected.
+    opt_rays: Optional[int] = None
 
     def __post_init__(self):
         if self.occ_grid is not None and self.hp.render.shared_jitter:
@@ -789,6 +892,7 @@ class CodeOptimizer:
             use_fused=self.use_fused,
             progress_rays=H * W if progress_images else 0,
             occ_grid=self.occ_grid,
+            rays_per_step=self.opt_rays,
         )
         if progress_images:
             res = res._replace(
@@ -910,6 +1014,7 @@ class CodeOptimizer:
             reference_resets=self.reference_resets,
             use_fused=self.use_fused,
             occ_grid=self.occ_grid,
+            rays_per_step=self.opt_rays,
         )
 
     def evaluate_objects(

@@ -63,6 +63,12 @@ def main() -> None:
     parser.add_argument("--deterministic_eval", type=str2bool, default=False,
                         help="midpoint z-values at eval (the reference "
                              "always evaluates with jittered sampling)")
+    parser.add_argument("--opt_rays", type=int, default=None,
+                        help="stochastic code optimization: rays drawn per "
+                             "opt step instead of rendering the full target "
+                             "view(s) every step (None = the exact reference "
+                             "protocol). Disables per-step progress PNGs; "
+                             "eval is unaffected.")
     args = parser.parse_args()
 
     import sys
@@ -111,6 +117,7 @@ def main() -> None:
         mean_texture=mean_code(jnp.asarray(trainables["texture_codes"])),
         fine_params=trainables.get("fine_params"),
         chunk=args.batchsize,
+        opt_rays=args.opt_rays,
     )
 
     with open(os.path.join(save_dir, "opt_hpams.json"), "w") as f:
@@ -140,6 +147,10 @@ def main() -> None:
         print("WARNING: --opt_group disables per-step progress PNGs "
               "(batched optimization collects no per-step renders)",
               file=sys.stderr)
+    if args.opt_rays is not None and args.save_progress:
+        print("WARNING: --opt_rays disables per-step progress PNGs "
+              "(a ray minibatch is not a full view)", file=sys.stderr)
+        args.save_progress = False
 
     def emit(oi, imgs, shape_code, texture_code, hist, ev_psnr, ev_ssim,
              ev_views, ev_images):

@@ -1173,3 +1173,74 @@ def test_dual_kernel_grads_match_two_call_recipe():
         scale_ref = max(1e-3, float(np.abs(want).max()))
         np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                    rtol=5e-3, atol=2e-3 * scale_ref)
+
+
+def test_optimize_codes_stochastic_rays_per_step():
+    """STOCHASTIC code optimization (rays_per_step minibatches, late r3):
+    (a) the minibatch selection happens before route dispatch, so the
+    single-pass kernel route and the XLA route see identical minibatches
+    and their trajectories must match like the full-view runs do; (b) the
+    batched multi-object stochastic run bitwise-follows each standalone
+    stochastic run; (c) rays_per_step >= n_rays falls back to the exact
+    full-view protocol."""
+    from codenerf_tpu.optimization import codes_opt
+
+    hp = _fused_hparams(n_samples=8)
+    params = init_codenerf(jax.random.PRNGKey(1), hp.net)
+    G, R = 2, 128
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    ro = jax.random.uniform(ks[0], (G, R, 3), jnp.float32, -0.2, 0.2)
+    vd = jax.random.normal(ks[1], (G, R, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    gt = jax.random.uniform(ks[2], (G, R, 3))
+    init_s = jax.random.normal(ks[3], (hp.net.latent_dim,)) * 0.05
+    init_t = jnp.zeros((hp.net.latent_dim,))
+    keys = jnp.stack([jax.random.PRNGKey(100 + g) for g in range(G)])
+
+    kwargs = dict(num_opts=4, lr=1e-2, lr_half_interval=2, chunk=64,
+                  rays_per_step=32)
+    # (a) fused single-pass vs XLA on the SAME minibatch stream
+    res_f = codes_opt.optimize_codes(
+        params, hp, ro[0], vd[0], gt[0], init_s, init_t, keys[0],
+        use_fused=True, **kwargs)
+    res_x = codes_opt.optimize_codes(
+        params, hp, ro[0], vd[0], gt[0], init_s, init_t, keys[0],
+        use_fused=False, **kwargs)
+    assert np.isfinite(np.asarray(res_f.psnr_history)).all()
+    np.testing.assert_allclose(np.asarray(res_f.psnr_history),
+                               np.asarray(res_x.psnr_history), atol=0.3)
+    np.testing.assert_allclose(np.asarray(res_f.shape_code),
+                               np.asarray(res_x.shape_code), atol=5e-2)
+
+    # (b) batched stochastic == standalone stochastic, per object
+    batch = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, init_s, init_t, keys, use_fused=True,
+        **kwargs)
+    assert batch.psnr_history.shape == (4, G)
+    for g in range(G):
+        seq = codes_opt.optimize_codes(
+            params, hp, ro[g], vd[g], gt[g], init_s, init_t, keys[g],
+            use_fused=True, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(batch.shape_codes[g]), np.asarray(seq.shape_code),
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(batch.psnr_history[:, g]),
+            np.asarray(seq.psnr_history), atol=1e-3)
+
+    # (c) a full-pool budget is the exact protocol (identical cache entry)
+    full = dict(kwargs, rays_per_step=R)
+    res_full = codes_opt.optimize_codes(
+        params, hp, ro[0], vd[0], gt[0], init_s, init_t, keys[0],
+        use_fused=True, **full)
+    res_none = codes_opt.optimize_codes(
+        params, hp, ro[0], vd[0], gt[0], init_s, init_t, keys[0],
+        use_fused=True, **dict(kwargs, rays_per_step=None))
+    np.testing.assert_array_equal(np.asarray(res_full.shape_code),
+                                  np.asarray(res_none.shape_code))
+
+    # progress renders need the full view: the combination must raise
+    with pytest.raises(ValueError, match="progress"):
+        codes_opt.optimize_codes(
+            params, hp, ro[0], vd[0], gt[0], init_s, init_t, keys[0],
+            use_fused=True, progress_rays=16, **kwargs)

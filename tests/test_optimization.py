@@ -364,3 +364,49 @@ def test_progress_images_collected_and_inert(trained):
     gt = imgs[0]
     mse = lambda t: float(np.mean((np.asarray(res_p.progress[t]) - gt) ** 2))
     assert mse(7) < mse(0)
+
+
+def test_stochastic_opt_rays_converges(trained):
+    """CodeOptimizer(opt_rays=...) runs stochastic minibatch optimization:
+    each step renders a random ray subset instead of the full target view.
+    The optimized codes must still beat the mean-code init on held-out
+    views, and the batched path must follow the standalone runs."""
+    import dataclasses
+
+    opt, tr, scene, hp = _make_optimizer(trained)
+    sopt = dataclasses.replace(opt, opt_rays=96)
+    obj = 1
+    imgs, poses = _images_f32(scene, obj), scene["poses"][obj]
+    focal = float(scene["focals"][obj])
+    res = sopt.optimize_object(
+        imgs, poses, focal, tgt_views=[0], key=jax.random.PRNGKey(3),
+        num_opts=80, lr=1e-2, lr_half_interval=40,
+    )
+    assert np.isfinite(np.asarray(res.psnr_history)).all()
+    ev = sopt.evaluate_object(
+        imgs, poses, focal, exclude_views=[0],
+        shape_code=res.shape_code, texture_code=res.texture_code,
+        key=jax.random.PRNGKey(4))
+    ev0 = sopt.evaluate_object(
+        imgs, poses, focal, exclude_views=[0],
+        shape_code=sopt.mean_shape, texture_code=sopt.mean_texture,
+        key=jax.random.PRNGKey(4))
+    assert ev["psnr"].mean() > ev0["psnr"].mean() + 1.0
+
+    # batched stochastic rows follow the standalone stochastic runs
+    objs = [0, 1]
+    imgs_g = np.stack([_images_f32(scene, o) for o in objs])
+    poses_g = np.stack([scene["poses"][o] for o in objs])
+    focals_g = np.asarray([scene["focals"][o] for o in objs], np.float32)
+    keys = jnp.stack([jax.random.PRNGKey(60 + g) for g in range(len(objs))])
+    kwargs = dict(num_opts=8, lr=1e-2, lr_half_interval=4)
+    batch = sopt.optimize_objects(imgs_g, poses_g, focals_g, tgt_views=[0],
+                                  keys=keys, **kwargs)
+    for g, o in enumerate(objs):
+        seq = sopt.optimize_object(
+            imgs_g[g], poses_g[g], float(focals_g[g]), tgt_views=[0],
+            key=keys[g], **kwargs)
+        np.testing.assert_allclose(np.asarray(batch.shape_codes[g]),
+                                   np.asarray(seq.shape_code), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch.psnr_history[:, g]),
+                                   np.asarray(seq.psnr_history), atol=1e-3)

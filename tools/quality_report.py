@@ -99,7 +99,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
               mean_shape=mean_code(tr["shape_codes"]),
               mean_texture=mean_code(tr["texture_codes"]),
               chunk=4096)
-    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ, **mk)
+    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ,
+                              opt_rays=args.opt_rays, **mk)
     # Held-out metrics stay comparable across rows: evaluation always
     # renders the full sample budget without the grid, whatever the
     # optimization loop used.
@@ -195,7 +196,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"- kernels/sampling: use_fused={args.use_fused}, "
             f"bound_radius={args.bound_radius}, occupancy={args.occ}, "
             f"n_importance={args.n_importance}, opt_occ={args.opt_occ}, "
-            f"opt_samples={args.opt_samples or args.samples}\n"
+            f"opt_samples={args.opt_samples or args.samples}, "
+            f"opt_rays={args.opt_rays or 'full-view'}\n"
             f"- training: {args.steps} steps (crop->full), "
             f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
@@ -253,6 +255,11 @@ def main() -> None:
                     help="sample budget for the optimization loop only "
                          "(eval keeps --samples); with --opt_occ the grid "
                          "concentrates a smaller budget on the object")
+    ap.add_argument("--opt_rays", type=int, default=None,
+                    help="stochastic code optimization: rays drawn per opt "
+                         "step instead of rendering the full target view "
+                         "every step (None = the exact reference protocol); "
+                         "eval is unaffected")
     ap.add_argument("--geometry", type=str, default="sphere",
                     choices=["sphere", "chair"],
                     help="synthetic category: shaded spheres (cars-like "
