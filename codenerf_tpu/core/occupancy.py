@@ -164,6 +164,71 @@ def update_density_grid(
     return jnp.maximum(density * decay, jnp.max(sig, axis=0))
 
 
+def category_density_scan(
+    trainables,
+    net_cfg,
+    grid_size: int,
+    radius: float,
+    codes_per_chunk: int,
+    sigma_threshold: float = 0.01,
+    dilate: int = 1,
+    compute_dtype=jnp.bfloat16,
+):
+    """Full-category max-union density + grid in ONE traced scan.
+
+    Evaluates every object's sigma field over fixed-size wrap-modulo code
+    chunks (a ``lax.scan``, so the dispatch count does not grow with the
+    category — the per-chunk python loop paid ceil(n/k) tunnel round-trips,
+    measured ~540 s of a 788 s run at 2458 objects) and max-unions them
+    with ``decay=1.0`` (order-independent, bitwise what the incremental
+    round-robin refresh converges to). Returns ``(density, OccupancyGrid)``.
+
+    Density is a pure function of the trainables, which is why it is NOT
+    checkpointed: the trainer's post-warmup resume and the ``optimize.py``
+    ``--opt_occ`` path both rebuild it from a restored checkpoint with this
+    one function."""
+    n = trainables["shape_codes"].shape[0]
+    k = min(codes_per_chunk, n)
+    rounds = -(-n // k)  # ceil
+
+    def body(density, start):
+        idx = (start + jnp.arange(k, dtype=jnp.int32)) % n
+        d = update_density_grid(
+            density, trainables["params"], net_cfg,
+            trainables["shape_codes"][idx],
+            trainables["texture_codes"][idx],
+            radius, decay=1.0, compute_dtype=compute_dtype,
+        )
+        return d, None
+
+    starts = jnp.arange(rounds, dtype=jnp.int32) * k
+    density, _ = jax.lax.scan(
+        body, jnp.zeros((grid_size,) * 3, jnp.float32), starts)
+    grid = grid_from_density(
+        density, radius, sigma_threshold=sigma_threshold,
+        dilate=dilate, mask_radius=radius,
+    )
+    return density, grid
+
+
+def rebuild_category_grid(trainables, net_cfg, occ_cfg, radius,
+                          compute_dtype=jnp.bfloat16):
+    """Jitted one-shot wrapper over :func:`category_density_scan` keyed on
+    a ``TrainOccupancyConfig`` — the entry point CLIs use to reconstruct
+    the production category grid from a restored checkpoint (the trainer
+    keeps its own cached jitted closure). Returns the
+    :class:`OccupancyGrid` only."""
+    fn = jax.jit(category_density_scan, static_argnums=(1, 2, 3, 4),
+                 static_argnames=("sigma_threshold", "dilate",
+                                  "compute_dtype"))
+    _, grid = fn(trainables, net_cfg, occ_cfg.grid_size, float(radius),
+                 min(occ_cfg.codes_per_update,
+                     trainables["shape_codes"].shape[0]),
+                 sigma_threshold=occ_cfg.sigma_threshold,
+                 dilate=occ_cfg.dilate, compute_dtype=compute_dtype)
+    return grid
+
+
 def build_occupancy_grid(
     params,
     net_cfg,

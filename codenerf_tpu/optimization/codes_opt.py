@@ -160,6 +160,28 @@ _RUN_CACHE = collections.OrderedDict()
 _RUN_CACHE_MAX = 16
 
 
+def _normalize_rays_per_step(rays_per_step, n_rays: int):
+    """Validate + tile-align the stochastic minibatch size.
+
+    Returns ``None`` when the request covers the full ray set (the exact
+    reference protocol). The single-pass kernel tiles the ray axis in
+    ``_TRAIN_TILE_RAYS`` (16) rows, so a misaligned minibatch is rounded UP
+    to the next tile — without this, an off-by-one ``rays_per_step`` would
+    silently disqualify the fast kernel route the feature exists to use
+    (or raise a tiling error phrased in kernel terms)."""
+    if rays_per_step is None:
+        return None
+    r = int(rays_per_step)
+    if r <= 0:
+        raise ValueError(f"rays_per_step must be positive, got {r}")
+    from codenerf_tpu.ops.fused_train import _TRAIN_TILE_RAYS
+
+    r = -(-r // _TRAIN_TILE_RAYS) * _TRAIN_TILE_RAYS
+    if r >= n_rays:
+        return None  # full view — the exact (reference) protocol
+    return r
+
+
 def safe_code_norm(x: jnp.ndarray) -> jnp.ndarray:
     """``||x||`` with a finite gradient at ``x = 0``: the gradient of
     ``jnp.linalg.norm`` is ``x/||x|| = 0/0 = NaN`` there, and zero-init
@@ -199,8 +221,16 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 "progress renders need the full-view rays every step; "
                 "rays_per_step subsampling and progress_rays are mutually "
                 "exclusive")
-        chunk, n_chunks = int(rays_per_step), 1
-    loss_rays = chunk if stochastic else n_rays
+        # The minibatch respects the same per-dispatch transport cap as the
+        # full-view path: a rays_per_step larger than the planned chunk is
+        # CHUNKED (scan), not run as one oversized dispatch — activation
+        # memory stays bounded by chunk x samples regardless of the
+        # user-supplied value. n_chunks == 1 reproduces the pre-chunking
+        # behavior bitwise.
+        mb = int(rays_per_step)
+        chunk = min(mb, chunk)
+        n_chunks = -(-mb // chunk)
+    loss_rays = chunk * n_chunks if stochastic else n_rays
 
     # SINGLE-PASS route (late round 3): the frozen-model variant of the
     # training loss kernel. Gated on pad-free chunking (the in-kernel MSE
@@ -382,7 +412,7 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
             ro_f = ro_c.reshape(-1, ro_c.shape[-1])[:n_rays]
             vd_f = vd_c.reshape(-1, vd_c.shape[-1])[:n_rays]
             gt_f = gt_c.reshape(-1, gt_c.shape[-1])[:n_rays]
-            ones_mask = jnp.ones((1, chunk), jnp.float32)
+            ones_mask = jnp.ones((n_chunks, chunk), jnp.float32)
 
         def step(carry, xs):
             step_idx, step_key = xs
@@ -396,10 +426,11 @@ def _build_run(hp: Hparams, n_rays: int, chunk: int, n_chunks: int,
                 )
             if stochastic:
                 k_sel, step_key = jax.random.split(step_key)
-                idx = jax.random.randint(k_sel, (chunk,), 0, n_rays)
-                ro_b = ro_f[idx][None]
-                vd_b = vd_f[idx][None]
-                gt_b = gt_f[idx][None]
+                idx = jax.random.randint(k_sel, (n_chunks * chunk,), 0,
+                                         n_rays)
+                ro_b = ro_f[idx].reshape(n_chunks, chunk, -1)
+                vd_b = vd_f[idx].reshape(n_chunks, chunk, -1)
+                gt_b = gt_f[idx].reshape(n_chunks, chunk, -1)
                 mask_b = ones_mask
             else:
                 ro_b, vd_b, gt_b, mask_b = ro_c, vd_c, gt_c, mask_c
@@ -469,13 +500,7 @@ def optimize_codes(
     n_rays = ray_o.shape[0]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
     n_chunks = n_padded // chunk
-    if rays_per_step is not None and int(rays_per_step) >= n_rays:
-        rays_per_step = None  # full view — the exact (reference) protocol
-    if rays_per_step is not None:
-        rays_per_step = int(rays_per_step)
-        if rays_per_step <= 0:
-            raise ValueError(f"rays_per_step must be positive, got "
-                             f"{rays_per_step}")
+    rays_per_step = _normalize_rays_per_step(rays_per_step, n_rays)
     # hp.raw (the original JSON dict) is unhashable and irrelevant to the
     # compiled program — key on the typed config only.
     progress_rays = min(int(progress_rays), n_rays)
@@ -519,7 +544,8 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                      nc_obj: int, num_opts: int, lr: float,
                      lr_half_interval: int, reference_resets: bool,
                      use_fused: Optional[bool],
-                     rays_per_step: Optional[int] = None):
+                     rays_per_step: Optional[int] = None,
+                     mesh=None):
     """Multi-object variant of :func:`_build_run`: ``G`` objects' target
     rays ride ONE jitted optimization scan instead of ``G`` sequential
     dispatches (the reference protocol loops hundreds of test objects,
@@ -530,20 +556,41 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
     splits the standalone run makes), the per-ray loss scale ``1/(R·3)``
     is object-count-independent, and AdamW is elementwise — so row ``g``
     of the batched (G, D) code tables follows the standalone trajectory of
-    object ``g`` exactly (asserted by tests, not just argued)."""
+    object ``g`` exactly (asserted by tests, not just argued).
+
+    ``mesh``: the optimization is embarrassingly parallel over objects, so
+    under a device mesh the object axis shards across the batch axes
+    (replica x data) via ``shard_map`` — each device runs the SAME local
+    scan on its own G/n_shards objects (frozen weights replicated, code
+    rows + Adam moments sharded with their objects, zero collectives).
+    Row ``g`` is therefore bitwise the single-device batched row, which is
+    bitwise the standalone run. ``n_objs`` must divide by the shard count
+    (:func:`optimize_codes_batch` pads). The reference being superseded is
+    strictly single-device (``src/optimizer.py:34``)."""
     net_cfg, rcfg = hp.net, hp.render
     compute_dtype = resolve_dtype(hp.compute_dtype)
-    G = n_objs
+    n_shards = 1
+    if mesh is not None:
+        from codenerf_tpu.parallel.mesh import n_batch_shards
+
+        n_shards = n_batch_shards(mesh)
+        if n_objs % n_shards:
+            raise ValueError(f"{n_objs} objects not divisible by the "
+                             f"{n_shards}-way object sharding")
+    G = n_objs // n_shards  # objects per shard (== n_objs when unsharded)
 
     # Stochastic minibatch variant — same semantics as in
     # :func:`_build_run`, per object: each step draws ``rays_per_step``
     # rays from each object's own pool with that object's own PRNG
     # stream, so row ``g`` still bitwise-follows the standalone
-    # stochastic run.
+    # stochastic run. The minibatch is chunked under the same transport
+    # cap as the full-view path (see :func:`_build_run`).
     stochastic = rays_per_step is not None and rays_per_step < n_rays
     if stochastic:
-        chunk, nc_obj = int(rays_per_step), 1
-    loss_rays = chunk if stochastic else n_rays
+        mb = int(rays_per_step)
+        chunk = min(mb, chunk)
+        nc_obj = -(-mb // chunk)
+    loss_rays = chunk * nc_obj if stochastic else n_rays
 
     from codenerf_tpu.ops import fused_train as _ft
 
@@ -672,7 +719,6 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                 lambda a, b: a + hp.loss_reg_coef * b, g_codes, g_reg)
             return fin_se_v * scale, grads
 
-    @jax.jit
     def run(params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0,
             keys_g, occ):
         opt_state0 = tx.init(codes0)
@@ -687,8 +733,8 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
             ro_f = ro_c.reshape(G, -1, dim)[:, :n_rays]
             vd_f = vd_c.reshape(G, -1, dim)[:, :n_rays]
             gt_f = gt_c.reshape(G, -1, gt_c.shape[-1])[:, :n_rays]
-            gi_b = jnp.arange(G, dtype=jnp.int32)
-            ones_mask = jnp.ones((G, chunk), jnp.float32)
+            gi_b = jnp.repeat(jnp.arange(G, dtype=jnp.int32), nc_obj)
+            ones_mask = jnp.ones((G * nc_obj, chunk), jnp.float32)
 
         def step(carry, xs):
             step_idx, sk_g = xs
@@ -702,18 +748,22 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
                 )
             if stochastic:
                 # Same two-level split as the standalone stochastic step:
-                # (k_sel, rest) = split(step_key); chunk key = split(rest, 1).
+                # (k_sel, rest) = split(step_key); chunk keys =
+                # split(rest, nc_obj).
                 ks2 = jax.vmap(jax.random.split)(sk_g)  # (G, 2, 2)
                 idx_g = jax.vmap(
-                    lambda k: jax.random.randint(k, (chunk,), 0, n_rays)
+                    lambda k: jax.random.randint(k, (nc_obj * chunk,), 0,
+                                                 n_rays)
                 )(ks2[:, 0])
-                ro_b = jax.vmap(lambda a, i: a[i])(ro_f, idx_g)
-                vd_b = jax.vmap(lambda a, i: a[i])(vd_f, idx_g)
-                gt_b = jax.vmap(lambda a, i: a[i])(gt_f, idx_g)
+                resh = lambda a: a.reshape(G * nc_obj, chunk, a.shape[-1])
+                ro_b = resh(jax.vmap(lambda a, i: a[i])(ro_f, idx_g))
+                vd_b = resh(jax.vmap(lambda a, i: a[i])(vd_f, idx_g))
+                gt_b = resh(jax.vmap(lambda a, i: a[i])(gt_f, idx_g))
                 mask_b, gi_v = ones_mask, gi_b
                 chunk_keys = jax.vmap(
-                    lambda k: jax.random.split(k, 1))(ks2[:, 1])
-                chunk_keys = chunk_keys.reshape(G, *chunk_keys.shape[2:])
+                    lambda k: jax.random.split(k, nc_obj))(ks2[:, 1])
+                chunk_keys = chunk_keys.reshape(G * nc_obj,
+                                                *chunk_keys.shape[2:])
             else:
                 ro_b, vd_b, gt_b = ro_c, vd_c, gt_c
                 mask_b, gi_v = mask_c, gi_c
@@ -740,7 +790,26 @@ def _build_run_batch(hp: Hparams, n_objs: int, n_rays: int, chunk: int,
         )
         return codes, history
 
-    return run
+    if mesh is None:
+        return jax.jit(run)
+
+    # Object-sharded dispatch: chunk transport (object-major, so each
+    # shard's slice is a contiguous block of whole objects), code rows,
+    # and per-object keys shard over the batch axes; frozen params /
+    # fine_params / occupancy grid replicate. No collectives: every
+    # object's trajectory lives on exactly one device.
+    from jax.sharding import PartitionSpec as P
+
+    from codenerf_tpu.parallel.mesh import batch_axes, shard_map_compat
+
+    ax = batch_axes(mesh)
+    sh, rep = P(ax), P()
+    run_sm = shard_map_compat(
+        run, mesh,
+        in_specs=(rep, rep, sh, sh, sh, sh, sh, sh, sh, rep),
+        out_specs=(sh, P(None, ax)),
+    )
+    return jax.jit(run_sm)
 
 
 def optimize_codes_batch(
@@ -761,6 +830,7 @@ def optimize_codes_batch(
     use_fused: Optional[bool] = None,
     occ_grid=None,
     rays_per_step: Optional[int] = None,
+    mesh=None,
 ) -> BatchedOptimizationResult:
     """Optimize G objects' codes in ONE jitted dispatch.
 
@@ -770,53 +840,81 @@ def optimize_codes_batch(
     changes wall-clock only. Per-step progress renders are not supported
     here — use the per-object path for those. ``rays_per_step`` enables
     the same stochastic minibatch optimization as :func:`optimize_codes`
-    (row ``g`` bitwise-follows the standalone stochastic run)."""
+    (row ``g`` bitwise-follows the standalone stochastic run).
+
+    ``mesh`` shards the OBJECT axis over the mesh's batch axes
+    (replica x data): each device optimizes G/n_shards objects with the
+    identical local program, frozen weights replicated — the test-time
+    half of the workflow scales across chips exactly like training does
+    (the reference's per-object loop is single-device,
+    ``src/optimizer.py:34,53-147``). G is padded to the shard count by
+    repeating the last object (pad rows computed then discarded); row
+    ``g`` stays bitwise the unsharded result."""
     from codenerf_tpu.renderer import chunk_plan, pad_rays
 
     G, n_rays = ray_o.shape[:2]
     chunk, _, n_padded = chunk_plan(n_rays, chunk)
     nc_obj = n_padded // chunk
-    if rays_per_step is not None and int(rays_per_step) >= n_rays:
-        rays_per_step = None
-    if rays_per_step is not None:
-        rays_per_step = int(rays_per_step)
-        if rays_per_step <= 0:
-            raise ValueError(f"rays_per_step must be positive, got "
-                             f"{rays_per_step}")
-    cache_key = ("batch", dataclasses.replace(hp, raw=None), G, n_rays,
+    rays_per_step = _normalize_rays_per_step(rays_per_step, n_rays)
+
+    G_run, n_shards = G, 1
+    if mesh is not None:
+        from codenerf_tpu.parallel.mesh import n_batch_shards
+
+        n_shards = n_batch_shards(mesh)
+        G_run = -(-G // n_shards) * n_shards
+
+    cache_key = ("batch", dataclasses.replace(hp, raw=None), G_run, n_rays,
                  chunk, nc_obj, num_opts, lr, lr_half_interval,
                  reference_resets, use_fused, fine_params is None,
-                 occ_grid is None, rays_per_step)
+                 occ_grid is None, rays_per_step, mesh)
     if cache_key not in _RUN_CACHE:
         _RUN_CACHE[cache_key] = _build_run_batch(
-            hp, G, n_rays, chunk, nc_obj, num_opts, lr, lr_half_interval,
-            reference_resets, use_fused, rays_per_step)
+            hp, G_run, n_rays, chunk, nc_obj, num_opts, lr, lr_half_interval,
+            reference_resets, use_fused, rays_per_step, mesh=mesh)
         while len(_RUN_CACHE) > _RUN_CACHE_MAX:
             _RUN_CACHE.popitem(last=False)
     else:
         _RUN_CACHE.move_to_end(cache_key)
     run = _RUN_CACHE[cache_key]
 
+    def pad_objs(x):
+        if G_run == G:
+            return x
+        reps = jnp.broadcast_to(x[-1:], (G_run - G, *x.shape[1:]))
+        return jnp.concatenate([x, reps], axis=0)
+
+    ray_o, viewdir = pad_objs(jnp.asarray(ray_o)), pad_objs(jnp.asarray(viewdir))
+    gt_rgb = pad_objs(jnp.asarray(gt_rgb, dtype=jnp.float32))
+    keys = pad_objs(jnp.asarray(keys))
+
     def chunk_all(x):
         padded = jax.vmap(lambda a: pad_rays(a, n_padded))(x)
-        return padded.reshape(G * nc_obj, chunk, *x.shape[2:])
+        return padded.reshape(G_run * nc_obj, chunk, *x.shape[2:])
 
-    ro_c = chunk_all(jnp.asarray(ray_o))
-    vd_c = chunk_all(jnp.asarray(viewdir))
-    gt_c = chunk_all(jnp.asarray(gt_rgb, dtype=jnp.float32))
+    ro_c = chunk_all(ray_o)
+    vd_c = chunk_all(viewdir)
+    gt_c = chunk_all(gt_rgb)
     mask = jnp.arange(n_padded, dtype=jnp.float32) < n_rays
-    mask_c = jnp.tile(mask.reshape(nc_obj, chunk), (G, 1))
-    gi_c = jnp.repeat(jnp.arange(G, dtype=jnp.int32), nc_obj)
+    mask_c = jnp.tile(mask.reshape(nc_obj, chunk), (G_run, 1))
+    # Chunk -> object indices are LOCAL to each shard: shards own
+    # contiguous object blocks of size G_run/n_shards, so the local index
+    # is the global one modulo the block size (identity when unsharded).
+    gi_c = jnp.repeat(
+        jnp.arange(G_run, dtype=jnp.int32) % (G_run // n_shards), nc_obj)
 
     D_s = init_shape.shape[-1]
     D_t = init_texture.shape[-1]
     codes0 = (
-        jnp.broadcast_to(init_shape.astype(jnp.float32), (G, D_s)),
-        jnp.broadcast_to(init_texture.astype(jnp.float32), (G, D_t)),
+        jnp.broadcast_to(init_shape.astype(jnp.float32), (G_run, D_s)),
+        jnp.broadcast_to(init_texture.astype(jnp.float32), (G_run, D_t)),
     )
     (shape_codes, texture_codes), history = run(
         params, fine_params, ro_c, vd_c, gt_c, mask_c, gi_c, codes0, keys,
         occ_grid)
+    if G_run != G:
+        shape_codes, texture_codes = shape_codes[:G], texture_codes[:G]
+        history = history[:, :G]
     return BatchedOptimizationResult(shape_codes, texture_codes, history)
 
 
@@ -852,6 +950,12 @@ class CodeOptimizer:
     # reference protocol). Cuts opt FLOPs by n_target_rays/opt_rays; the
     # eval protocol is unaffected.
     opt_rays: Optional[int] = None
+    # Device mesh: shards the OBJECT axis of optimize_objects /
+    # evaluate_objects over the batch axes (replica x data) — each chip
+    # handles its share of the test split with the identical local
+    # program (frozen weights replicated). Per-object results are
+    # unchanged. The per-object methods stay single-dispatch.
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         if self.occ_grid is not None and self.hp.render.shared_jitter:
@@ -881,6 +985,12 @@ class CodeOptimizer:
         ``result.progress`` — the data behind the reference's per-opt-step
         progress PNGs (``src/optimizer.py:101,149-166``), collected inside
         the single jitted scan (the loss renders those rays anyway)."""
+        if progress_images and self.opt_rays is not None:
+            raise ValueError(
+                "progress_images=True renders the full first target view "
+                "every step, but this CodeOptimizer was built with "
+                f"opt_rays={self.opt_rays} (stochastic ray minibatches). "
+                "Pass opt_rays=None or progress_images=False.")
         H, W = images.shape[1:3]
         ro, vd, gt = _flat_target_rays(images, poses, focal, tgt_views, H, W)
         res = optimize_codes(
@@ -963,7 +1073,6 @@ class CodeOptimizer:
         # G objects × V views in ONE dispatch. Each object keeps its own
         # PRNG stream (split(key_g, V)) so per-view z-jitter matches the
         # sequential evaluate_object calls exactly.
-        @jax.jit
         def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g, occ):
             G, V = c2ws.shape[:2]
             keys = jax.vmap(lambda kg: jax.random.split(kg, V))(keys_g)
@@ -983,7 +1092,23 @@ class CodeOptimizer:
             return (rgb.reshape(G, V, *rgb.shape[1:]),
                     p.reshape(G, V), s.reshape(G, V))
 
-        return eval_views_multi
+        if self.mesh is None:
+            return jax.jit(eval_views_multi)
+
+        # Object-sharded eval sweep: each device scores its own block of
+        # objects' held-out views; only the (G, V') metric shards travel.
+        # The body derives G from its LOCAL shapes, so sharding it is pure
+        # wrapping (frozen params are closure constants -> replicated).
+        from jax.sharding import PartitionSpec as P
+
+        from codenerf_tpu.parallel.mesh import batch_axes, shard_map_compat
+
+        ax = batch_axes(self.mesh)
+        sh = P(ax)
+        return jax.jit(shard_map_compat(
+            eval_views_multi, self.mesh,
+            in_specs=(sh, sh, sh, sh, sh, sh, P()),
+            out_specs=(sh, sh, sh)))
 
     def optimize_objects(
         self,
@@ -1015,6 +1140,7 @@ class CodeOptimizer:
             use_fused=self.use_fused,
             occ_grid=self.occ_grid,
             rays_per_step=self.opt_rays,
+            mesh=self.mesh,
         )
 
     def evaluate_objects(
@@ -1042,19 +1168,36 @@ class CodeOptimizer:
             self._eval_multi_key = cache_key
         excl = set(int(i) for i in exclude_views)
         idxs = [v for v in range(images.shape[1]) if v not in excl]
+
+        G = images.shape[0]
+        G_run = G
+        if self.mesh is not None:
+            from codenerf_tpu.parallel.mesh import n_batch_shards
+
+            n_shards = n_batch_shards(self.mesh)
+            G_run = -(-G // n_shards) * n_shards
+
+        def pad_objs(x):
+            if G_run == G:
+                return x
+            reps = jnp.broadcast_to(x[-1:], (G_run - G, *x.shape[1:]))
+            return jnp.concatenate([x, reps], axis=0)
+
         rgb, p, s = self._eval_multi_fn(
-            jnp.asarray(poses[:, idxs]),
-            jnp.asarray(focals, dtype=jnp.float32),
-            jnp.asarray(images[:, idxs], dtype=jnp.float32),
-            shape_codes, texture_codes, keys, self.occ_grid,
+            pad_objs(jnp.asarray(poses[:, idxs])),
+            pad_objs(jnp.asarray(focals, dtype=jnp.float32)),
+            pad_objs(jnp.asarray(images[:, idxs], dtype=jnp.float32)),
+            pad_objs(jnp.asarray(shape_codes)),
+            pad_objs(jnp.asarray(texture_codes)),
+            pad_objs(jnp.asarray(keys)), self.occ_grid,
         )
         out = {
             "views": np.asarray(idxs),
-            "psnr": np.asarray(p),    # (G, V')
-            "ssim": np.asarray(s),    # (G, V')
+            "psnr": np.asarray(p)[:G],    # (G, V')
+            "ssim": np.asarray(s)[:G],    # (G, V')
         }
         if return_images:
-            out["images"] = np.asarray(rgb)  # (G, V', H, W, 3)
+            out["images"] = np.asarray(rgb)[:G]  # (G, V', H, W, 3)
         return out
 
     def evaluate_object(

@@ -53,6 +53,36 @@ def make_mesh(devices: Optional[Sequence] = None, data: int = -1,
     return Mesh(np.asarray(devices).reshape(data, model), ("data", "model"))
 
 
+def batch_axes(mesh: Mesh) -> tuple:
+    """Names of the batch-parallel mesh axes, in mesh order: ``('replica',
+    'data')`` on a 3-axis mesh, ``('data',)`` otherwise. These are the axes
+    batches — and independent OBJECTS in the test-time-optimization path —
+    shard across; 'model' (tensor parallelism) is never one of them."""
+    return tuple(ax for ax in ("replica", "data") if ax in mesh.axis_names)
+
+
+def n_batch_shards(mesh: Mesh) -> int:
+    """Total way-ness of the batch-parallel axes (see :func:`batch_axes`)."""
+    n = 1
+    for ax in batch_axes(mesh):
+        n *= mesh.shape[ax]
+    return n
+
+
+def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` with replication checking disabled, across the
+    jax>=0.9 (``check_vma``) / earlier (``check_rep``) keyword rename —
+    the same shim the fused training path uses
+    (``training/train_step.py``)."""
+    from jax import shard_map as _shard_map
+
+    kw = dict(mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    try:
+        return _shard_map(fn, check_vma=False, **kw)
+    except TypeError:  # pre-0.9 jax spells it check_rep
+        return _shard_map(fn, check_rep=False, **kw)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (ray) axis across 'data' (and 'replica' when the
     mesh has one — pure DP across slices); trailing dims replicated. The

@@ -199,33 +199,15 @@ class Trainer:
 
         self._occ_update_fn = jax.jit(upd, static_argnames="decay")
 
-        n = self.n_objects
-
         def rebuild(trainables):
-            # Full-category max-union in ONE dispatch: a lax.scan over the
-            # same fixed-size wrap-modulo chunks the incremental update
-            # uses, with chunk indices computed on device. decay=1.0 makes
-            # the union order-independent, so this is bitwise the same
-            # grid the per-chunk python loop produced.
-            def body(density, start):
-                idx = (start + jnp.arange(k, dtype=jnp.int32)) % n
-                d = occ_mod.update_density_grid(
-                    density, trainables["params"], self.hp.net,
-                    trainables["shape_codes"][idx],
-                    trainables["texture_codes"][idx],
-                    self._occ_radius, decay=1.0, compute_dtype=cd,
-                )
-                return d, None
-
-            starts = jnp.arange(rounds, dtype=jnp.int32) * k
-            density, _ = jax.lax.scan(
-                body, jnp.zeros((oc.grid_size,) * 3, jnp.float32), starts)
-            grid = occ_mod.grid_from_density(
-                density, self._occ_radius,
-                sigma_threshold=oc.sigma_threshold,
-                dilate=oc.dilate, mask_radius=self._occ_radius,
-            )
-            return density, grid
+            # Full-category max-union in ONE dispatch (decay=1.0, order-
+            # independent): occupancy.category_density_scan — the same
+            # function the optimize CLI uses to reconstruct the grid from
+            # a restored checkpoint.
+            return occ_mod.category_density_scan(
+                trainables, self.hp.net, oc.grid_size, self._occ_radius,
+                k, sigma_threshold=oc.sigma_threshold, dilate=oc.dilate,
+                compute_dtype=cd)
 
         self._occ_rebuild_fn = jax.jit(rebuild)
 

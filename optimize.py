@@ -69,6 +69,25 @@ def main() -> None:
                              "view(s) every step (None = the exact reference "
                              "protocol). Disables per-step progress PNGs; "
                              "eval is unaffected.")
+    parser.add_argument("--opt_occ", type=str2bool, default=False,
+                        help="rebuild the trained category occupancy grid "
+                             "from the checkpoint (one jitted scan over all "
+                             "code rows) and use it for empty-space skipping "
+                             "during code optimization. Requires a jsonfile "
+                             "with train_occupancy (e.g. srncar_occ32.json). "
+                             "Eval renders WITHOUT the grid so metrics stay "
+                             "comparable across settings.")
+    parser.add_argument("--opt_samples", type=int, default=None,
+                        help="sample budget for the optimization loop only "
+                             "(eval keeps the jsonfile's N_samples); with "
+                             "--opt_occ the grid concentrates the smaller "
+                             "budget inside occupied space")
+    parser.add_argument("--data_axis", type=int, default=-1)
+    parser.add_argument("--replica_axis", type=int, default=1,
+                        help="with >1 devices, --opt_group objects shard "
+                             "over a (replica, data) mesh: each chip "
+                             "optimizes+evaluates its share of the group "
+                             "with identical per-object results")
     args = parser.parse_args()
 
     import sys
@@ -110,15 +129,61 @@ def main() -> None:
     ds = SRNDataset(cat=hp.data.cat, splits=splits, data_dir=hp.data.data_dir,
                     max_objects=args.max_objects)
 
-    optimizer = CodeOptimizer(
+    mesh = None
+    if len(jax.devices()) > 1 or args.replica_axis > 1:
+        from codenerf_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_axis, model=1,
+                         replica=args.replica_axis)
+        if args.opt_group == 1:
+            print("WARNING: multiple devices but --opt_group=1: the mesh "
+                  "shards the object-group axis — raise --opt_group to use "
+                  "all chips", file=sys.stderr)
+
+    occ = None
+    if args.opt_occ:
+        # The density field is a pure function of the trainables and is
+        # deliberately not checkpointed — reconstruct the production
+        # category grid with the same one-dispatch scan the trainer's
+        # post-warmup resume uses.
+        if hp.train_occupancy is None:
+            raise SystemExit(
+                "--opt_occ needs a jsonfile with train_occupancy "
+                "(e.g. srncar_occ32.json); "
+                f"{args.jsonfile} has none")
+        from codenerf_tpu.config import resolve_dtype
+        from codenerf_tpu.core.occupancy import rebuild_category_grid
+
+        oc = hp.train_occupancy
+        radius = (oc.radius if oc.radius is not None
+                  else hp.render.bound_sphere_radius)
+        occ = rebuild_category_grid(
+            trainables, hp.net, oc, radius,
+            compute_dtype=resolve_dtype(hp.compute_dtype))
+
+    opt_hp = hp
+    if args.opt_samples:
+        import dataclasses
+
+        opt_hp = dataclasses.replace(
+            hp, render=dataclasses.replace(hp.render,
+                                           n_samples=args.opt_samples))
+
+    mk = dict(
         params=trainables["params"],
-        hp=hp,
         mean_shape=mean_code(jnp.asarray(trainables["shape_codes"])),
         mean_texture=mean_code(jnp.asarray(trainables["texture_codes"])),
         fine_params=trainables.get("fine_params"),
         chunk=args.batchsize,
-        opt_rays=args.opt_rays,
+        mesh=mesh,
     )
+    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ,
+                              opt_rays=args.opt_rays, **mk)
+    # Held-out metrics stay comparable whatever the optimization loop used:
+    # evaluation always renders the jsonfile's full sample budget without
+    # the grid (same policy as tools/quality_report.py).
+    evaluator = (optimizer if (opt_hp is hp and occ is None)
+                 else CodeOptimizer(hp=hp, **mk))
 
     with open(os.path.join(save_dir, "opt_hpams.json"), "w") as f:
         json.dump({"instance_ids": args.tgt_instances, "lr": args.lr,
@@ -208,7 +273,7 @@ def main() -> None:
                 for t in range(prog.shape[0]):
                     save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
                              side_by_side(prog[t], imgs[v0]))
-            ev = optimizer.evaluate_object(
+            ev = evaluator.evaluate_object(
                 imgs, poses, focal, args.tgt_instances,
                 res.shape_code, res.texture_code, k_eval,
                 return_images=args.save_img,
@@ -238,7 +303,7 @@ def main() -> None:
                 jnp.stack(ks_opt), num_opts=args.num_opts, lr=args.lr,
                 lr_half_interval=args.lr_half_interval,
             )
-            ev = optimizer.evaluate_objects(
+            ev = evaluator.evaluate_objects(
                 imgs_g, poses_g, focals_g, args.tgt_instances,
                 res.shape_codes, res.texture_codes, jnp.stack(ks_eval),
                 return_images=args.save_img,

