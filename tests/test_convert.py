@@ -136,3 +136,36 @@ def test_full_convert_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(raw["trainables"]["params"]["rgb_out"]["w"]),
         sd["rgb.2.weight"].numpy().T, atol=1e-6)
+
+
+def test_export_import_roundtrip(rng):
+    """Reverse converter (Orbax -> models.pth payload): exporting our
+    params and re-importing through the forward converter must be
+    bitwise — the two key/transposition maps are exact inverses."""
+    import jax
+
+    from tools.export_reference_checkpoint import trainables_to_reference
+
+    cfg = NetConfig(shape_blocks=3, texture_blocks=1, W=32,
+                    num_xyz_freq=2, num_dir_freq=1, latent_dim=8)
+    params = init_codenerf(jax.random.PRNGKey(3), cfg)
+    trainables = {
+        "params": params,
+        "shape_codes": jnp.asarray(
+            rng.standard_normal((5, cfg.latent_dim)).astype(np.float32)),
+        "texture_codes": jnp.asarray(
+            rng.standard_normal((5, cfg.latent_dim)).astype(np.float32)),
+    }
+    payload = trainables_to_reference(trainables, niter=42, nepoch=2)
+    assert payload["niter"] == 42 and payload["nepoch"] == 2
+    np.testing.assert_array_equal(
+        payload["shape_code_params"]["weight"].numpy(),
+        np.asarray(trainables["shape_codes"]))
+
+    back = state_dict_to_params(payload["model_params"], cfg.shape_blocks,
+                                cfg.texture_blocks)
+    assert (jax.tree_util.tree_structure(back)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

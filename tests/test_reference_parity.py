@@ -338,3 +338,47 @@ def test_code_init_distribution_parity(ref):
     assert abs(ours.std() - theirs.std()) < 0.01
     assert abs(ours.mean() - theirs.mean()) < 0.002
     del ref
+
+
+def test_exported_checkpoint_loads_into_reference(ref, net_cfg):
+    """Reverse converter: OUR trained params exported to the reference's
+    models.pth layout must load into the reference's own ``CodeNeRF``
+    (strict state_dict) and compute the same function — the loadability +
+    correctness half of the cross-eval proof (the reference's eval code
+    scoring weights trained here, ``tools/reference_parity.py
+    --cross_eval``)."""
+    from codenerf_tpu.models.codenerf import apply_codenerf, init_codenerf
+    from tools.export_reference_checkpoint import params_to_state_dict
+
+    params = init_codenerf(jax.random.PRNGKey(11), net_cfg)
+    sd = params_to_state_dict(params, net_cfg.shape_blocks,
+                              net_cfg.texture_blocks)
+    net = ref.model.CodeNeRF(
+        shape_blocks=net_cfg.shape_blocks,
+        texture_blocks=net_cfg.texture_blocks,
+        W=net_cfg.W,
+        num_xyz_freq=net_cfg.num_xyz_freq,
+        num_dir_freq=net_cfg.num_dir_freq,
+        latent_dim=net_cfg.latent_dim,
+    )
+    missing, unexpected = net.load_state_dict(sd, strict=True), None
+    assert not missing.missing_keys and not missing.unexpected_keys
+
+    rng = np.random.default_rng(4)
+    R, S = 9, 7
+    xyz = rng.uniform(-1.0, 1.0, (R, S, 3)).astype(np.float32)
+    vd = rng.standard_normal((R, 3)).astype(np.float32)
+    vd /= np.linalg.norm(vd, axis=-1, keepdims=True)
+    sc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    tc = rng.standard_normal((net_cfg.latent_dim,)).astype(np.float32) * 0.09
+    vd_tiled = np.broadcast_to(vd[:, None, :], (R, S, 3)).copy()
+    with torch.no_grad():
+        sig_t, rgb_t = net(
+            torch.from_numpy(xyz), torch.from_numpy(vd_tiled),
+            torch.from_numpy(sc[None]), torch.from_numpy(tc[None]))
+    sig, rgb = apply_codenerf(
+        params, net_cfg, jnp.asarray(xyz), jnp.asarray(vd),
+        jnp.asarray(sc), jnp.asarray(tc), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(sig), sig_t.numpy()[..., 0],
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_t.numpy(), atol=5e-5)

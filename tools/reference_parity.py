@@ -88,9 +88,10 @@ def make_dataset(workdir: str, n_train: int, n_test: int, H: int, seed: int):
     return data_root, train, test
 
 
-def write_json(workdir: str, data_root: str, scene, n_samples: int):
+def write_json(workdir: str, data_root: str, scene, n_samples: int,
+               net: dict | None = None):
     cfg = {
-        "net_hyperparams": {
+        "net_hyperparams": net or {
             "shape_blocks": 2, "texture_blocks": 1, "W": 64,
             "num_xyz_freq": 6, "num_dir_freq": 2, "latent_dim": 32,
         },
@@ -142,8 +143,11 @@ def _patched_torch_cpu():
         torch.device = real_device
 
 
-def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
-                  tgt_view: int, log) -> dict:
+def _ref_modules():
+    """Import the reference's flat modules with the DataLoader patched to
+    num_workers=0 (worker processes only parallelize image decode; the
+    reference rebuilds its DataLoader every epoch, ``src/trainer.py:51``,
+    which would respawn 4 procs each time)."""
     _install_skimage_shim()
     if REF_SRC not in sys.path:
         sys.path.insert(0, REF_SRC)
@@ -151,30 +155,31 @@ def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
     import optimizer as ref_optimizer_mod
     from torch.utils.data import DataLoader
 
-    # Worker processes only parallelize image decode; num_workers=0 keeps
-    # identical semantics and avoids respawning 4 procs per epoch (the
-    # reference rebuilds its DataLoader every epoch, src/trainer.py:51).
     def dl_no_workers(ds, batch_size=1, num_workers=4, shuffle=False):
         return DataLoader(ds, batch_size=batch_size, num_workers=0,
                           shuffle=shuffle)
 
     ref_trainer_mod.DataLoader = dl_no_workers
     ref_optimizer_mod.DataLoader = dl_no_workers
+    return ref_trainer_mod, ref_optimizer_mod
 
+
+def run_reference_eval(workdir: str, saved_dir: str, num_opts: int,
+                       batch_size: int, tgt_view: int, log,
+                       impl: str) -> dict:
+    """Phase 2 alone — the reference's OWN ``Optimizer`` protocol
+    (``src/optimizer.py:48-135``) against whatever ``exps/<saved_dir>/
+    models.pth`` holds. With a checkpoint exported by
+    ``tools/export_reference_checkpoint.py`` this scores THIS framework's
+    weights with zero shared code on the scoring side."""
+    _, ref_optimizer_mod = _ref_modules()
     cwd = os.getcwd()
     os.chdir(workdir)
     t0 = time.time()
     try:
         with _patched_torch_cpu(), contextlib.redirect_stdout(log):
-            tr = ref_trainer_mod.Trainer("ref_run", gpu=0,
-                                         jsonfile="parity.json",
-                                         batch_size=batch_size)
-            tr.training(0, iters, num_instances_per_obj=1)
-        train_s = time.time() - t0
-        t0 = time.time()
-        with _patched_torch_cpu(), contextlib.redirect_stdout(log):
             opt = ref_optimizer_mod.Optimizer(
-                "ref_run", gpu=0, instance_ids=[tgt_view], splits="test",
+                saved_dir, gpu=0, instance_ids=[tgt_view], splits="test",
                 jsonfile="parity.json", batch_size=batch_size,
                 num_opts=num_opts)
             opt.optimize_objs([tgt_view], lr=1e-2, lr_half_interval=50,
@@ -186,20 +191,44 @@ def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
     per_obj_psnr = {int(k): float(np.mean(v)) for k, v in opt.psnr_eval.items()}
     per_obj_ssim = {int(k): float(np.mean(v)) for k, v in opt.ssim_eval.items()}
     return {
-        "impl": "reference (torch CPU)",
+        "impl": impl,
         "per_object_psnr": per_obj_psnr,
         "per_object_ssim": per_obj_ssim,
         "psnr": float(np.mean(list(per_obj_psnr.values()))),
         "ssim": float(np.mean(list(per_obj_ssim.values()))),
-        "train_seconds": train_s,
+        "train_seconds": 0.0,
         "optimize_seconds": opt_s,
     }
+
+
+def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
+                  tgt_view: int, log, iters_crop: int = 0) -> dict:
+    ref_trainer_mod, _ = _ref_modules()
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    t0 = time.time()
+    try:
+        with _patched_torch_cpu(), contextlib.redirect_stdout(log):
+            tr = ref_trainer_mod.Trainer("ref_run", gpu=0,
+                                         jsonfile="parity.json",
+                                         batch_size=batch_size)
+            tr.training(iters_crop, iters, num_instances_per_obj=1)
+        train_s = time.time() - t0
+    finally:
+        os.chdir(cwd)
+
+    out = run_reference_eval(workdir, "ref_run", num_opts, batch_size,
+                             tgt_view, log, "reference (torch CPU)")
+    out["train_seconds"] = train_s
+    return out
 
 
 # ------------------------------------------------------------- framework side
 def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
                   batch_size: int, tgt_view: int, test_scene, log,
-                  quirks: bool = True) -> dict:
+                  quirks: bool = True, iters_crop: int = 0,
+                  export_pth: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -234,10 +263,22 @@ def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
                  batch_size=batch_size, dataset=train_ds,
                  exps_root=os.path.join(workdir, "exps"), check_iter=0)
     with contextlib.redirect_stdout(log):
-        tr.training(iters_crop=0, iters_all=iters, log_every=max(iters // 4, 1))
+        tr.training(iters_crop=iters_crop, iters_all=iters,
+                    log_every=max(iters // 4, 1))
     train_s = time.time() - t0
 
     trainables = tr.state.trainables
+    if export_pth:
+        # Reverse-convert the freshly trained weights so the reference's
+        # own Optimizer can score them (--cross_eval).
+        import torch
+
+        from tools.export_reference_checkpoint import trainables_to_reference
+
+        payload = trainables_to_reference(jax.device_get(trainables),
+                                          niter=iters)
+        os.makedirs(os.path.dirname(export_pth), exist_ok=True)
+        torch.save(payload, export_pth)
     opt = CodeOptimizer(
         params=trainables["params"], hp=hp,
         mean_shape=mean_code(trainables["shape_codes"]),
@@ -275,8 +316,10 @@ def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
 
 
 # --------------------------------------------------------------------- report
-def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None):
-    rows = [ref, ours] + ([clean] if clean else [])
+def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None,
+                 cross: dict | None = None):
+    rows = ([ref, ours] + ([cross] if cross else [])
+            + ([clean] if clean else []))
     lines = [
         "# Reference parity — measured end-to-end A/B",
         "",
@@ -288,8 +331,12 @@ def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None):
         "",
         f"Protocol: {args.n_train} train objects x 50 views, {args.n_test} "
         f"held-out objects x 250 views, {args.size}x{args.size} images, "
-        f"N_samples={args.n_samples}, W=64 latent=32 MLP, {args.iters} "
-        f"train iters (one {args.size * args.size}-ray image-step each), "
+        f"N_samples={args.n_samples}, W={args.width} latent="
+        f"{args.latent_dim} MLP ({args.shape_blocks}+{args.texture_blocks} "
+        f"blocks, PE {args.xyz_freq}/{args.dir_freq}), {args.iters} "
+        f"train iters"
+        + (f" ({args.iters_crop} crop-phase)" if args.iters_crop else "")
+        + f" (one {args.size * args.size}-ray image-step each), "
         f"then the reference eval protocol: mean-code init, {args.num_opts} "
         "code-only AdamW steps (lr 1e-2 halved/50) on view "
         f"{args.tgt_view}, PSNR/SSIM over the remaining 249 views. "
@@ -347,15 +394,40 @@ def main():
     ap.add_argument("--size", type=int, default=32, help="image H=W")
     ap.add_argument("--n_samples", type=int, default=24)
     ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--iters_crop", type=int, default=0,
+                    help="crop-phase iterations (reference center-crop "
+                    "schedule, src/data.py:76-78 — the reference hardcodes "
+                    "a 32px crop, so this needs --size 128)")
     ap.add_argument("--num_opts", type=int, default=200)
     ap.add_argument("--tgt_view", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    # Flagship architecture knobs (defaults = the round-3 miniature;
+    # --flagship switches all four to the shipped srncar.json dims,
+    # /root/reference/jsonfiles/srncar.json:2-9).
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--shape_blocks", type=int, default=2)
+    ap.add_argument("--texture_blocks", type=int, default=1)
+    ap.add_argument("--latent_dim", type=int, default=32)
+    ap.add_argument("--xyz_freq", type=int, default=6)
+    ap.add_argument("--dir_freq", type=int, default=2)
+    ap.add_argument("--flagship", action="store_true",
+                    help="the reference's real srncar architecture: W=256, "
+                    "3 shape + 1 texture blocks, latent 256, PE 10/4")
     ap.add_argument("--also_clean", action="store_true",
                     help="additionally run this framework WITHOUT the "
                     "reference-quirk toggles (clean formulation)")
+    ap.add_argument("--cross_eval", action="store_true",
+                    help="export the framework-trained weights to the "
+                    "reference's models.pth and run the REFERENCE'S OWN "
+                    "Optimizer eval on them — parity with zero shared code "
+                    "on the scoring side")
     ap.add_argument("--report", default=os.path.join(REPO, "docs",
                                                      "REFERENCE_PARITY.md"))
     args = ap.parse_args()
+    if args.flagship:
+        args.width, args.latent_dim = 256, 256
+        args.shape_blocks, args.texture_blocks = 3, 1
+        args.xyz_freq, args.dir_freq = 10, 4
 
     # Force CPU for apples-to-apples with torch CPU (also: the axon
     # sitecustomize pins JAX_PLATFORMS, so set it via jax.config in-process).
@@ -366,32 +438,55 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     data_root, train_scene, test_scene = make_dataset(
         args.workdir, args.n_train, args.n_test, args.size, args.seed)
-    write_json(args.workdir, data_root, train_scene, args.n_samples)
+    net = {
+        "shape_blocks": args.shape_blocks,
+        "texture_blocks": args.texture_blocks,
+        "W": args.width,
+        "num_xyz_freq": args.xyz_freq,
+        "num_dir_freq": args.dir_freq,
+        "latent_dim": args.latent_dim,
+    }
+    write_json(args.workdir, data_root, train_scene, args.n_samples, net=net)
     batch = args.size * args.size
+    export_pth = (os.path.join(args.workdir, "exps", "xeval_run",
+                               "models.pth") if args.cross_eval else None)
 
     log_path = os.path.join(args.workdir, "run.log")
     with open(log_path, "w") as log:
         print("running reference (torch CPU)...", flush=True)
         ref = run_reference(args.workdir, args.iters, args.num_opts, batch,
-                            args.tgt_view, log)
+                            args.tgt_view, log, iters_crop=args.iters_crop)
         print(f"  reference: {ref['psnr']:.2f} dB / {ref['ssim']:.4f} "
               f"(train {ref['train_seconds']:.0f}s)", flush=True)
         print("running codenerf_tpu (quirks-matched)...", flush=True)
         ours = run_framework(args.workdir, data_root, args.iters,
                              args.num_opts, batch, args.tgt_view,
-                             test_scene, log, quirks=True)
+                             test_scene, log, quirks=True,
+                             iters_crop=args.iters_crop,
+                             export_pth=export_pth)
         print(f"  ours(quirks): {ours['psnr']:.2f} dB / {ours['ssim']:.4f} "
               f"(train {ours['train_seconds']:.0f}s)", flush=True)
+        cross = None
+        if args.cross_eval:
+            print("running REFERENCE eval on framework-trained weights "
+                  "(cross-eval)...", flush=True)
+            cross = run_reference_eval(
+                args.workdir, "xeval_run", args.num_opts, batch,
+                args.tgt_view, log,
+                "reference Optimizer scoring codenerf_tpu weights")
+            print(f"  cross-eval: {cross['psnr']:.2f} dB / "
+                  f"{cross['ssim']:.4f}", flush=True)
         clean = None
         if args.also_clean:
             print("running codenerf_tpu (clean)...", flush=True)
             clean = run_framework(args.workdir, data_root, args.iters,
                                   args.num_opts, batch, args.tgt_view,
-                                  test_scene, log, quirks=False)
+                                  test_scene, log, quirks=False,
+                                  iters_crop=args.iters_crop)
             print(f"  ours(clean): {clean['psnr']:.2f} dB / "
                   f"{clean['ssim']:.4f}", flush=True)
 
-    delta = write_report(args.report, args, ref, ours, clean)
+    delta = write_report(args.report, args, ref, ours, clean, cross)
     out = {
         "reference_psnr": ref["psnr"], "framework_psnr": ours["psnr"],
         "delta_db": delta, "reference_ssim": ref["ssim"],
@@ -399,9 +494,11 @@ def main():
     }
     if clean:
         out["clean_psnr"] = clean["psnr"]
+    if cross:
+        out["cross_eval_psnr"] = cross["psnr"]
     with open(os.path.join(args.workdir, "parity.json"), "w") as f:
         json.dump({"args": vars(args), "reference": ref, "framework": ours,
-                   "clean": clean}, f, indent=2)
+                   "clean": clean, "cross_eval": cross}, f, indent=2)
     print(json.dumps(out))
 
 
