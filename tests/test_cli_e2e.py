@@ -160,6 +160,80 @@ def test_ignored_reference_flags_warn(tmp_path):
     assert "--gpu=1" in r2.stderr and "ignored" in r2.stderr
 
 
+@pytest.fixture(scope="module")
+def trained_run(workdir):
+    """A tiny trained checkpoint shared by the pose-opt / editing CLI tests
+    (kept independent of the train/optimize test's run1)."""
+    r = _run(
+        [os.path.join(REPO, "train.py"), "--save_dir", "run_tools",
+         "--iters_crop", "0", "--iters_all", "40", "--batchsize", "256",
+         "--jsonfile", "jsonfiles/tiny.json", "--log_every", "20",
+         "--check_iter", "0", "--tensorboard", "false"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return "run_tools"
+
+
+def test_pose_opt_cli(workdir, trained_run):
+    """Driver config #4 from the shell: tools/pose_opt.py recovers a
+    perturbed camera pose against a trained checkpoint and writes pose
+    errors + strips (the reference only catalogs this capability,
+    README.md:24-25)."""
+    r = _run(
+        [os.path.join(REPO, "tools", "pose_opt.py"),
+         "--saved_dir", trained_run, "--jsonfile", "jsonfiles/tiny.json",
+         "--splits", "test", "--tgt_instance", "1", "--num_opts", "6",
+         "--lr_half_interval", "3", "--rays_per_step", "128",
+         "--perturb_rot", "4", "--perturb_trans", "0.05",
+         "--save_img", "true"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    pose_dir = workdir / "exps" / trained_run / "pose_opt"
+    assert pose_dir.is_dir()
+    with open(pose_dir / "results.json") as f:
+        results = json.load(f)
+    assert len(results["per_object"]) == 2
+    for row in results["per_object"]:
+        # 6 steps won't converge; the gate is plumbing: errors finite,
+        # perturbation magnitudes as requested, PSNR finite.
+        assert 0.0 < row["rot_err_deg_before"] < 10.0
+        assert np.isfinite(row["rot_err_deg_after"])
+        assert np.isfinite(row["psnr_last"])
+    assert any(pose_dir.glob("*.png"))
+
+
+def test_edit_cli(workdir, trained_run):
+    """Driver config #5 from the shell: tools/edit.py renders interpolation
+    strips + the swap matrix from checkpointed codes."""
+    r = _run(
+        [os.path.join(REPO, "tools", "edit.py"),
+         "--saved_dir", trained_run, "--jsonfile", "jsonfiles/tiny.json",
+         "--objects", "0", "1", "--grid", "3", "--view", "0",
+         "--batchsize", "256"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    edit_dir = workdir / "exps" / trained_run / "edits"
+    for name in ("shape_interp.png", "texture_interp.png",
+                 "swap_matrix.png"):
+        assert (edit_dir / name).is_file()
+    with open(edit_dir / "results.json") as f:
+        results = json.load(f)
+    assert len(results["diag_psnr"]) == 2
+    assert np.isfinite(results["mean_diag_psnr"])
+    # out-of-range object indices must fail loudly
+    r2 = _run(
+        [os.path.join(REPO, "tools", "edit.py"),
+         "--saved_dir", trained_run, "--jsonfile", "jsonfiles/tiny.json",
+         "--objects", "0", "7"],
+        cwd=str(workdir),
+    )
+    assert r2.returncode != 0
+    assert "out of range" in r2.stderr
+
+
 def test_production_occ_recipe_cli(workdir):
     """The full production recipe from the SHELL alone (VERDICT r3 weak #3):
     train.py with a train_occupancy config, then optimize.py --opt_occ
