@@ -130,7 +130,12 @@ class TrainOccupancyConfig:
     grid_size: int = 64
     update_every: int = 500
     warmup: int = 2000
-    codes_per_update: int = 8
+    # Codes refreshed per update. None = AUTO: scale with the category so a
+    # full round-robin coverage cycle keeps decay^rounds >= 0.5 (the
+    # staleness regime the trainer warns about is unreachable) — see
+    # ``core/occupancy.resolve_codes_per_update``. An explicit int pins it
+    # (the round-3 behavior), at the cost of the warning at large n.
+    codes_per_update: Optional[int] = None
     sigma_threshold: float = 0.01
     dilate: int = 1
     decay: float = 0.99

@@ -169,7 +169,11 @@ class Trainer:
         self._occ_seeded = False
         cd = resolve_dtype(self.hp.compute_dtype)
 
-        k = min(oc.codes_per_update, self.n_objects)
+        # codes_per_update=None scales k with the category so decay^rounds
+        # stays >= 0.5 at any n_objects (the staleness regime below is
+        # unreachable); an EXPLICIT k can still land in it and warns.
+        k = occ_mod.resolve_codes_per_update(oc, self.n_objects)
+        self._occ_k = k
         rounds = -(-self.n_objects // k)  # ceil
         if rounds > 1 and oc.decay ** rounds < 0.5:
             import warnings
@@ -180,7 +184,8 @@ class Trainer:
                 f"decay^rounds = {oc.decay ** rounds:.3f} < 0.5 — cells kept "
                 "alive only by rarely-refreshed objects will decay below "
                 "threshold between their refreshes. Raise codes_per_update "
-                "or decay.",
+                "or decay, or leave codes_per_update unset (auto-scales "
+                "with the category).",
                 stacklevel=3,
             )
 
@@ -213,7 +218,7 @@ class Trainer:
 
     def _update_occupancy(self) -> None:
         oc = self.hp.train_occupancy
-        k = min(oc.codes_per_update, self.n_objects)
+        k = self._occ_k
         idx = (np.arange(k) + self._occ_cursor) % self.n_objects
         self._occ_cursor = int((self._occ_cursor + k) % self.n_objects)
         self._density, self._occ = self._occ_update_fn(

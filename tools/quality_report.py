@@ -51,16 +51,46 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     from codenerf_tpu.utils.images import save_png, side_by_side
 
     os.makedirs(out_dir, exist_ok=True)
-    n_total = args.n_train_objects + args.n_test_objects
-    scene = synthetic_scene(n_objects=n_total, n_views=args.n_views,
-                            H=args.size, W=args.size, seed=11 + 100 * seed,
-                            pattern=True, geometry=args.geometry)
-    train_scene = {
-        "images": scene["images"][: args.n_train_objects],
-        "poses": scene["poses"][: args.n_train_objects],
-        "focals": scene["focals"][: args.n_train_objects],
-        "H": scene["H"], "W": scene["W"],
-    }
+    if args.n_test_views is None:
+        # Standard protocol (rounds 2-3): one category draw, sliced into
+        # train/held-out — kept bitwise reproducible.
+        n_total = args.n_train_objects + args.n_test_objects
+        scene = synthetic_scene(n_objects=n_total, n_views=args.n_views,
+                                H=args.size, W=args.size,
+                                seed=11 + 100 * seed, pattern=True,
+                                geometry=args.geometry,
+                                cam_distance=args.cam_distance)
+        train_scene = {
+            "images": scene["images"][: args.n_train_objects],
+            "poses": scene["poses"][: args.n_train_objects],
+            "focals": scene["focals"][: args.n_train_objects],
+            "H": scene["H"], "W": scene["W"],
+        }
+        test_scene = scene
+        test_base = args.n_train_objects
+    else:
+        # Real-SRN-geometry protocol: train and test splits carry DIFFERENT
+        # view counts (ShapeNet-SRN: 50 train / 250 test views,
+        # src/data.py:72 and src/optimizer.py:110), so they are separate
+        # category draws — same statistics, disjoint objects/orbits.
+        t0g = time.time()
+        scene = synthetic_scene(
+            n_objects=args.n_train_objects, n_views=args.n_views,
+            H=args.size, W=args.size, seed=11 + 100 * seed, pattern=True,
+            geometry=args.geometry, cam_distance=args.cam_distance)
+        train_scene = scene
+        test_scene = synthetic_scene(
+            n_objects=args.n_test_objects, n_views=args.n_test_views,
+            H=args.size, W=args.size, seed=11 + 100 * seed + 57,
+            pattern=True, geometry=args.geometry,
+            cam_distance=args.cam_distance)
+        test_base = 0
+        print(f"[seed {seed}] scene gen: {args.n_train_objects}x"
+              f"{args.n_views} train + {args.n_test_objects}x"
+              f"{args.n_test_views} test views at {args.size}px in "
+              f"{time.time() - t0g:.0f}s "
+              f"({(scene['images'].nbytes + test_scene['images'].nbytes) / 2**30:.1f}"
+              " GiB host arrays)", flush=True)
 
     hp = Hparams(
         net=NetConfig(shape_blocks=3, texture_blocks=1, W=256,
@@ -113,10 +143,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     group = max(1, args.opt_group)
     if group == 1:
         for i in range(args.n_test_objects):
-            oi = args.n_train_objects + i
-            imgs = scene["images"][oi].astype(np.float32) / 255.0
-            poses = scene["poses"][oi]
-            focal = float(scene["focals"][oi])
+            oi = test_base + i
+            imgs = test_scene["images"][oi].astype(np.float32) / 255.0
+            poses = test_scene["poses"][oi]
+            focal = float(test_scene["focals"][oi])
             key, k_opt, k_eval = jax.random.split(key, 3)
             res = optimizer.optimize_object(
                 imgs, poses, focal, tgt_views=[1], key=k_opt,
@@ -145,10 +175,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
         for start in range(0, args.n_test_objects, group):
             idx = list(range(start, min(start + group,
                                         args.n_test_objects)))
-            ois = [args.n_train_objects + i for i in idx]
-            imgs_g = scene["images"][ois].astype(np.float32) / 255.0
-            poses_g = scene["poses"][ois]
-            focals_g = scene["focals"][ois]
+            ois = [test_base + i for i in idx]
+            imgs_g = test_scene["images"][ois].astype(np.float32) / 255.0
+            poses_g = test_scene["poses"][ois]
+            focals_g = test_scene["focals"][ois]
             k_opts, k_evals = [], []
             for _ in idx:
                 key, k_opt, k_eval = jax.random.split(key, 3)
@@ -190,8 +220,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"- config: W={hp.net.W}, {hp.net.shape_blocks}+"
             f"{hp.net.texture_blocks} blocks, {args.samples} samples/ray, "
             f"{args.size}x{args.size} images, {args.n_train_objects} train / "
-            f"{args.n_test_objects} held-out objects, {args.n_views} views, "
-            f"seed {seed}\n"
+            f"{args.n_test_objects} held-out objects, {args.n_views} views"
+            + (f" train / {args.n_test_views} views test"
+               if args.n_test_views is not None else "")
+            + f", seed {seed}\n"
             f"- geometry: {args.geometry}\n"
             f"- kernels/sampling: use_fused={args.use_fused}, "
             f"bound_radius={args.bound_radius}, occupancy={args.occ}, "
@@ -228,6 +260,15 @@ def main() -> None:
     ap.add_argument("--n_train_objects", type=int, default=16)
     ap.add_argument("--n_test_objects", type=int, default=4)
     ap.add_argument("--n_views", type=int, default=24)
+    ap.add_argument("--n_test_views", type=int, default=None,
+                    help="views per TEST object (default: same as "
+                         "--n_views, single category draw — the rounds-2/3 "
+                         "protocol). Set 250 with --n_views 50 for the real "
+                         "ShapeNet-SRN view counts (src/data.py:72, "
+                         "src/optimizer.py:110); test objects then come "
+                         "from a separate same-statistics draw.")
+    ap.add_argument("--cam_distance", type=float, default=4.0,
+                    help="camera orbit radius of the synthetic scenes")
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--n_importance", type=int, default=0,
@@ -274,10 +315,10 @@ def main() -> None:
                     help="write side-by-side PNGs for the first N test "
                          "objects only (at 704 objects the per-object "
                          "image D2H + PNG encode dominates)")
-    ap.add_argument("--codes_per_update", type=int, default=8,
-                    help="objects refreshed per occupancy update; scale "
-                         "up for large categories (the config warns when "
-                         "decay^(n/k) would erase unrefreshed cells)")
+    ap.add_argument("--codes_per_update", type=int, default=None,
+                    help="objects refreshed per occupancy update "
+                         "(default: auto — scales with the category so "
+                         "decay^(n/k) never erases unrefreshed cells)")
     args = ap.parse_args()
 
     from codenerf_tpu.utils.cache import enable_compilation_cache
