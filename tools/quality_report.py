@@ -117,6 +117,14 @@ def run_once(args, seed: int, out_dir: str) -> dict:
           f"final train psnr {m['psnr']:.2f} dB", flush=True)
 
     tr = trainer.state.trainables
+    if args.occ and trainer.occupancy_grid is not None:
+        # Staleness diagnostic: a decayed grid drops rarely-refreshed
+        # objects' cells; the occupied fraction (and the refresh width k)
+        # make that visible next to the quality numbers.
+        frac = float(np.asarray(trainer.occupancy_grid.occ).mean())
+        print(f"[seed {seed}] occupancy grid: {frac:.3f} occupied "
+              f"(k={trainer._occ_k}/{args.n_train_objects} per update)",
+              flush=True)
     import dataclasses
 
     opt_hp = hp
