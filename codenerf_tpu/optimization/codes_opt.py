@@ -48,6 +48,19 @@ class OptimizationResult(NamedTuple):
     progress: Optional[jnp.ndarray] = None
 
 
+def _as_unit_float(images: np.ndarray) -> np.ndarray:
+    """uint8 (0..255) -> float32 [0,1]; float passes through.
+
+    uint8 is the preferred transport dtype (1/4 the tunnel bytes). This
+    HOST-side conversion (used for the small optimization-target slices)
+    is the identical numpy op callers would have applied, so optimization
+    trajectories are bitwise-unchanged; the eval path converts in-jit
+    instead, where XLA's reciprocal-multiply /255 can sit 1 ulp off."""
+    if images.dtype == np.uint8:
+        return images.astype(np.float32) / 255.0
+    return images
+
+
 def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
                       view_idxs: Sequence[int], H: int, W: int):
     """Stack origins/dirs/gt pixels of the target views into flat arrays."""
@@ -56,7 +69,8 @@ def _flat_target_rays(images: np.ndarray, poses: np.ndarray, focal: float,
         ro, vd = camera_rays(H, W, focal, jnp.asarray(poses[v]))
         ros.append(ro)
         vds.append(vd)
-        gts.append(jnp.asarray(images[v].reshape(-1, 3), dtype=jnp.float32))
+        gts.append(jnp.asarray(_as_unit_float(images[v]).reshape(-1, 3),
+                               dtype=jnp.float32))
     return jnp.concatenate(ros), jnp.concatenate(vds), jnp.concatenate(gts)
 
 
@@ -77,7 +91,7 @@ def _flat_target_rays_multi(images: np.ndarray, poses: np.ndarray,
 
     per_obj = jax.vmap(per_view, in_axes=(None, 0))      # over views
     ro, vd = jax.vmap(per_obj)(focals, tgt_poses)        # (G, T, HW, 3)
-    gt = jnp.asarray(images[:, idxs], dtype=jnp.float32)
+    gt = jnp.asarray(_as_unit_float(images[:, idxs]), dtype=jnp.float32)
     return (ro.reshape(G, T * H * W, 3), vd.reshape(G, T * H * W, 3),
             gt.reshape(G, T * H * W, 3))
 
@@ -1020,6 +1034,14 @@ class CodeOptimizer:
         chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
 
         def eval_view(c2w, focal, gt, shape_code, texture_code, key, occ):
+            if gt.dtype == jnp.uint8:
+                # GT crossed the tunnel as uint8 (4x fewer bytes). XLA
+                # strength-reduces the constant /255 into a reciprocal
+                # multiply, so pixels can sit 1 ulp off the host-converted
+                # float path (measured: ≤6e-8 on 9% of pixels) — metric
+                # shifts are last-ulp, the same class as compact training
+                # batches' fusion rounding.
+                gt = gt.astype(jnp.float32) / 255.0
             ro, vd = camera_rays(H, W, focal, c2w)
             ro_c = pad_rays(ro, n_padded).reshape(n_chunks, chunk, 3)
             vd_c = pad_rays(vd, n_padded).reshape(n_chunks, chunk, 3)
@@ -1112,7 +1134,7 @@ class CodeOptimizer:
 
     def optimize_objects(
         self,
-        images: np.ndarray,   # (G, V, H, W, 3) float [0,1]
+        images: np.ndarray,   # (G, V, H, W, 3) float [0,1] or uint8
         poses: np.ndarray,    # (G, V, 4, 4)
         focals: np.ndarray,   # (G,)
         tgt_views: Sequence[int],
@@ -1145,7 +1167,7 @@ class CodeOptimizer:
 
     def evaluate_objects(
         self,
-        images: np.ndarray,   # (G, V, H, W, 3) float [0,1]
+        images: np.ndarray,   # (G, V, H, W, 3) float [0,1] or uint8
         poses: np.ndarray,    # (G, V, 4, 4)
         focals: np.ndarray,   # (G,)
         exclude_views: Sequence[int],
@@ -1183,10 +1205,12 @@ class CodeOptimizer:
             reps = jnp.broadcast_to(x[-1:], (G_run - G, *x.shape[1:]))
             return jnp.concatenate([x, reps], axis=0)
 
+        gts = images[:, idxs]
         rgb, p, s = self._eval_multi_fn(
             pad_objs(jnp.asarray(poses[:, idxs])),
             pad_objs(jnp.asarray(focals, dtype=jnp.float32)),
-            pad_objs(jnp.asarray(images[:, idxs], dtype=jnp.float32)),
+            pad_objs(jnp.asarray(gts) if gts.dtype == np.uint8
+                     else jnp.asarray(gts, dtype=jnp.float32)),
             pad_objs(jnp.asarray(shape_codes)),
             pad_objs(jnp.asarray(texture_codes)),
             pad_objs(jnp.asarray(keys)), self.occ_grid,
@@ -1224,9 +1248,11 @@ class CodeOptimizer:
             self._eval_key = cache_key
         excl = set(int(i) for i in exclude_views)
         idxs = [v for v in range(images.shape[0]) if v not in excl]
+        gts = images[idxs]
         rgb, p, s = self._eval_fn(
             jnp.asarray(poses[idxs]), jnp.asarray(focal),
-            jnp.asarray(images[idxs], dtype=jnp.float32),
+            jnp.asarray(gts) if gts.dtype == np.uint8
+            else jnp.asarray(gts, dtype=jnp.float32),
             shape_code, texture_code, key, self.occ_grid,
         )
         out = {

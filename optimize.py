@@ -220,6 +220,8 @@ def main() -> None:
     def emit(oi, imgs, shape_code, texture_code, hist, ev_psnr, ev_ssim,
              ev_views, ev_images):
         """Per-object artifacts — identical for both loop shapes."""
+        if imgs.dtype == np.uint8:
+            imgs = imgs.astype(np.float32) / 255.0
         for t, p in enumerate(np.asarray(hist)):
             logger.scalars(t + args.num_opts * oi,
                            {f"psnr_opt/{nviews}/{args.splits}": float(p)})
@@ -253,7 +255,9 @@ def main() -> None:
     if group == 1:
         for oi in range(n):
             print(f"num obj: {oi}/{n}")
-            imgs = ds.images[oi].astype(np.float32) / 255.0
+            # uint8 end-to-end: optimizer/evaluator convert device-side
+            # (bitwise-identical metrics, 1/4 the tunnel H2D bytes).
+            imgs = ds.images[oi]
             poses, focal = ds.poses[oi], float(ds.focals[oi])
             key, k_opt, k_eval = jax.random.split(key, 3)
             res = optimizer.optimize_object(
@@ -270,9 +274,10 @@ def main() -> None:
                 os.makedirs(obj_dir, exist_ok=True)
                 v0 = args.tgt_instances[0]
                 prog = np.asarray(res.progress)
+                gt_v0 = imgs[v0].astype(np.float32) / 255.0
                 for t in range(prog.shape[0]):
                     save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
-                             side_by_side(prog[t], imgs[v0]))
+                             side_by_side(prog[t], gt_v0))
             ev = evaluator.evaluate_object(
                 imgs, poses, focal, args.tgt_instances,
                 res.shape_code, res.texture_code, k_eval,
@@ -289,8 +294,7 @@ def main() -> None:
         for start in range(0, n, group):
             idx = list(range(start, min(start + group, n)))
             print(f"num obj: {idx[0]}..{idx[-1]}/{n}")
-            imgs_g = np.stack([ds.images[i] for i in idx]).astype(
-                np.float32) / 255.0
+            imgs_g = np.stack([ds.images[i] for i in idx])  # uint8
             poses_g = np.stack([ds.poses[i] for i in idx])
             focals_g = np.asarray([ds.focals[i] for i in idx], np.float32)
             ks_opt, ks_eval = [], []

@@ -410,3 +410,66 @@ def test_stochastic_opt_rays_converges(trained):
                                    np.asarray(seq.shape_code), atol=1e-5)
         np.testing.assert_allclose(np.asarray(batch.psnr_history[:, g]),
                                    np.asarray(seq.psnr_history), atol=1e-3)
+
+
+def test_uint8_image_transport_bitwise(trained):
+    """uint8 GT through optimize/evaluate matches the float path.
+
+    The u8 transport (round 4) moves the /255 conversion after the H2D
+    transfer. The optimization path converts on the HOST (tiny target
+    slices), so trajectories/codes are bitwise equal. The eval path
+    converts INSIDE the jit, where XLA strength-reduces the constant
+    division to a reciprocal multiply: pixels sit ≤1 ulp off the host
+    conversion (asserted below) and metrics shift by last-ulp only —
+    the same fusion-rounding class as compact training batches."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    vals_u8 = np.asarray(jax.jit(
+        lambda x: x.astype(jnp.float32) / 255.0)(scene["images"][1]))
+    np.testing.assert_allclose(
+        vals_u8, scene["images"][1].astype(np.float32) / 255.0,
+        rtol=1.2e-7, atol=0)  # 1 ulp: XLA's reciprocal-multiply /255
+    obj = 1
+    imgs_u8 = scene["images"][obj]
+    assert imgs_u8.dtype == np.uint8
+    imgs_f32 = _images_f32(scene, obj)
+    poses, focal = scene["poses"][obj], float(scene["focals"][obj])
+
+    res_u8 = opt.optimize_object(
+        imgs_u8, poses, focal, tgt_views=[0], key=jax.random.PRNGKey(3),
+        num_opts=10, lr=1e-2, lr_half_interval=5)
+    res_f32 = opt.optimize_object(
+        imgs_f32, poses, focal, tgt_views=[0], key=jax.random.PRNGKey(3),
+        num_opts=10, lr=1e-2, lr_half_interval=5)
+    np.testing.assert_array_equal(np.asarray(res_u8.shape_code),
+                                  np.asarray(res_f32.shape_code))
+    np.testing.assert_array_equal(np.asarray(res_u8.psnr_history),
+                                  np.asarray(res_f32.psnr_history))
+
+    ev_u8 = opt.evaluate_object(
+        imgs_u8, poses, focal, exclude_views=[0],
+        shape_code=res_u8.shape_code, texture_code=res_u8.texture_code,
+        key=jax.random.PRNGKey(4))
+    ev_f32 = opt.evaluate_object(
+        imgs_f32, poses, focal, exclude_views=[0],
+        shape_code=res_f32.shape_code, texture_code=res_f32.texture_code,
+        key=jax.random.PRNGKey(4))
+    np.testing.assert_allclose(ev_u8["psnr"], ev_f32["psnr"], atol=1e-4)
+    np.testing.assert_allclose(ev_u8["ssim"], ev_f32["ssim"], atol=5e-6)
+
+    # Batched multi-object sweep: same invariant.
+    objs = [0, 1]
+    imgs_g_u8 = scene["images"][objs]
+    imgs_g_f32 = imgs_g_u8.astype(np.float32) / 255.0
+    poses_g = scene["poses"][objs]
+    focals_g = np.asarray(scene["focals"])[objs]
+    keys = jnp.stack([jax.random.PRNGKey(5), jax.random.PRNGKey(6)])
+    scs = jnp.stack([res_u8.shape_code, opt.mean_shape])
+    tcs = jnp.stack([res_u8.texture_code, opt.mean_texture])
+    evm_u8 = opt.evaluate_objects(
+        imgs_g_u8, poses_g, focals_g, exclude_views=[0],
+        shape_codes=scs, texture_codes=tcs, keys=keys)
+    evm_f32 = opt.evaluate_objects(
+        imgs_g_f32, poses_g, focals_g, exclude_views=[0],
+        shape_codes=scs, texture_codes=tcs, keys=keys)
+    np.testing.assert_allclose(evm_u8["psnr"], evm_f32["psnr"], atol=1e-4)
+    np.testing.assert_allclose(evm_u8["ssim"], evm_f32["ssim"], atol=5e-6)

@@ -152,7 +152,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     if group == 1:
         for i in range(args.n_test_objects):
             oi = test_base + i
-            imgs = test_scene["images"][oi].astype(np.float32) / 255.0
+            # uint8 through the whole path: the optimizer/evaluator convert
+            # device-side (bitwise-identical, 1/4 the tunnel H2D bytes — at
+            # 250 test views x 128px the f32 GT transfer dominated eval).
+            imgs = test_scene["images"][oi]
             poses = test_scene["poses"][oi]
             focal = float(test_scene["focals"][oi])
             key, k_opt, k_eval = jax.random.split(key, 3)
@@ -171,7 +174,9 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                          float(res.psnr_history[0]),
                          float(res.psnr_history[-1])))
             if want_img:
-                strip = side_by_side(ev["images"][:3], imgs[ev["views"][:3]])
+                strip = side_by_side(
+                    ev["images"][:3],
+                    imgs[ev["views"][:3]].astype(np.float32) / 255.0)
                 save_png(os.path.join(out_dir, f"heldout_{i}.png"), strip)
             print(f"[seed {seed}] object {i}: eval psnr {rows[-1][1]:.2f} "
                   f"dB, ssim {rows[-1][2]:.4f}", flush=True)
@@ -184,7 +189,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             idx = list(range(start, min(start + group,
                                         args.n_test_objects)))
             ois = [test_base + i for i in idx]
-            imgs_g = test_scene["images"][ois].astype(np.float32) / 255.0
+            imgs_g = test_scene["images"][ois]   # uint8: converted on device
             poses_g = test_scene["poses"][ois]
             focals_g = test_scene["focals"][ois]
             k_opts, k_evals = [], []
@@ -210,8 +215,9 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                              float(res.psnr_history[0, j]),
                              float(res.psnr_history[-1, j])))
                 if i < args.save_images and want_img:
-                    strip = side_by_side(ev["images"][j][:3],
-                                         imgs_g[j][ev["views"][:3]])
+                    strip = side_by_side(
+                        ev["images"][j][:3],
+                        imgs_g[j][ev["views"][:3]].astype(np.float32) / 255.0)
                     save_png(os.path.join(out_dir, f"heldout_{i}.png"),
                              strip)
             done = rows[-len(idx):]
