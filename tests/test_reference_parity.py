@@ -382,3 +382,62 @@ def test_exported_checkpoint_loads_into_reference(ref, net_cfg):
     np.testing.assert_allclose(np.asarray(sig), sig_t.numpy()[..., 0],
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(rgb), rgb_t.numpy(), atol=5e-5)
+
+
+# --------------------------------------------------------- harness patches
+def _tiny_ref_eval_workdir(tmp_path):
+    """A minimal reference-Optimizer-ready workdir: SRN-layout test split
+    (1 object x 4 views), parity.json, and a random-weights models.pth in
+    the reference's save format (``src/trainer.py:165-174``)."""
+    from tools.reference_parity import make_dataset, write_json
+
+    workdir = str(tmp_path)
+    data_root, _, test_scene = make_dataset(workdir, n_train=1, n_test=1,
+                                            H=16, seed=0, n_eval_views=4)
+    net = {"shape_blocks": 1, "texture_blocks": 1, "W": 32,
+           "num_xyz_freq": 2, "num_dir_freq": 1, "latent_dim": 8}
+    write_json(workdir, data_root, test_scene, n_samples=8, net=net)
+
+    ref_model, _ = _import_reference()
+    torch.manual_seed(7)
+    model = ref_model.CodeNeRF(**net)
+    payload = {
+        "model_params": model.state_dict(),
+        "shape_code_params": {"weight": torch.randn(3, net["latent_dim"])},
+        "texture_code_params": {"weight": torch.randn(3, net["latent_dim"])},
+    }
+    run_dir = os.path.join(workdir, "exps", "tiny_run")
+    os.makedirs(run_dir)
+    torch.save(payload, os.path.join(run_dir, "models.pth"))
+    return workdir
+
+
+def test_reference_eval_freeze_and_eval_view_patch(tmp_path):
+    """The two flagship-A/B harness patches are behavior-preserving:
+
+    - ``freeze_ref_opt`` (requires_grad_(False) on the loaded weights)
+      leaves the reference's code-optimization trajectory and eval metrics
+      IDENTICAL to the last float — its AdamW only holds the code vectors
+      (``src/optimizer.py:196-200``), so weight grads were computed and
+      discarded;
+    - ``n_eval_views`` patches the hardcoded ``range(250)`` eval loop
+      (``src/optimizer.py:110``) to score exactly the views that exist.
+
+    The reference's z-jitter is unseeded torch.rand, so each run is
+    re-seeded identically."""
+    import io
+
+    from tools.reference_parity import run_reference_eval
+
+    workdir = _tiny_ref_eval_workdir(tmp_path)
+    results = []
+    for freeze in (False, True):
+        torch.manual_seed(123)
+        results.append(run_reference_eval(
+            workdir, "tiny_run", num_opts=3, batch_size=256, tgt_view=1,
+            log=io.StringIO(), impl="tiny", n_eval_views=4,
+            freeze_weights=freeze))
+    # range(250) -> range(4), minus the target view = 3 scored views.
+    assert set(results[0]["per_object_psnr"]) == {0}
+    assert results[0]["psnr"] == results[1]["psnr"]
+    assert results[0]["ssim"] == results[1]["ssim"]

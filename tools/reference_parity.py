@@ -75,13 +75,18 @@ def _install_skimage_shim() -> bool:
 
 
 # ------------------------------------------------------------- data generation
-def make_dataset(workdir: str, n_train: int, n_test: int, H: int, seed: int):
+def make_dataset(workdir: str, n_train: int, n_test: int, H: int, seed: int,
+                 n_eval_views: int = 250):
     from codenerf_tpu.data.synthetic import synthetic_scene, write_srn_layout
 
     data_root = os.path.join(workdir, "data")
     train = synthetic_scene(n_objects=n_train, n_views=50, H=H, W=H, seed=seed)
-    # Held-out objects: same category statistics, disjoint draws.
-    test = synthetic_scene(n_objects=n_test, n_views=250, H=H, W=H,
+    # Held-out objects: same category statistics, disjoint draws. 250 views
+    # matches the reference's hardcoded eval loop (``src/optimizer.py:110``);
+    # a smaller ``n_eval_views`` (for the flagship-dims A/B, where one CPU
+    # eval view costs ~14 s) needs the matching range() patch in
+    # :func:`run_reference_eval`.
+    test = synthetic_scene(n_objects=n_test, n_views=n_eval_views, H=H, W=H,
                            seed=seed + 1)
     write_srn_layout(data_root, train, cat="srn_cars", splits="cars_train")
     write_srn_layout(data_root, test, cat="srn_cars", splits="cars_test")
@@ -166,26 +171,69 @@ def _ref_modules():
 
 def run_reference_eval(workdir: str, saved_dir: str, num_opts: int,
                        batch_size: int, tgt_view: int, log,
-                       impl: str) -> dict:
+                       impl: str, n_eval_views: int = 250,
+                       freeze_weights: bool = False) -> dict:
     """Phase 2 alone — the reference's OWN ``Optimizer`` protocol
     (``src/optimizer.py:48-135``) against whatever ``exps/<saved_dir>/
     models.pth`` holds. With a checkpoint exported by
     ``tools/export_reference_checkpoint.py`` this scores THIS framework's
-    weights with zero shared code on the scoring side."""
+    weights with zero shared code on the scoring side.
+
+    ``n_eval_views``: the reference hardcodes its per-object eval loop as
+    ``for num in range(250)`` (``src/optimizer.py:110``); at flagship dims
+    one 64x64 view render costs ~14 s on this single-core CPU, so the
+    flagship A/B writes a smaller test split and patches the module-level
+    ``range`` so exactly the literal ``range(250)`` resolves to
+    ``range(n_eval_views)`` (every other ``range`` call in the module is
+    multi-arg). Fewer eval views widens the CI; it cannot bias the A/B —
+    both sides score the identical view set.
+
+    ``freeze_weights``: sets ``requires_grad_(False)`` on the loaded model
+    parameters before ``optimize_objs``. The reference's AdamW only holds
+    the two code vectors (``src/optimizer.py:196-200``), so weight
+    gradients are computed and thrown away every opt step; freezing skips
+    the dW matmuls without touching the code-gradient chain — verified
+    identical (same psnr_eval/ssim_eval to the last float) by
+    ``tests/test_reference_parity.py``."""
     _, ref_optimizer_mod = _ref_modules()
+    import data as ref_data_mod  # the reference's flat data module
+
     cwd = os.getcwd()
     os.chdir(workdir)
     t0 = time.time()
+    real_range = range
+    real_loaders = (ref_data_mod.load_poses, ref_data_mod.load_imgs)
     try:
+        if n_eval_views != 250:
+            ref_optimizer_mod.range = (
+                lambda *a: real_range(n_eval_views) if a == (250,)
+                else real_range(*a))
+            # ``return_test_val_data`` also hardcodes np.arange(250)
+            # (``src/data.py:85``); clip the requested view indices to the
+            # views that exist on disk.
+            def _clipped(fn):
+                def wrapped(path, idxs=[]):
+                    idxs = np.asarray(idxs)
+                    return fn(path, idxs[idxs < n_eval_views])
+                return wrapped
+
+            ref_data_mod.load_poses = _clipped(real_loaders[0])
+            ref_data_mod.load_imgs = _clipped(real_loaders[1])
         with _patched_torch_cpu(), contextlib.redirect_stdout(log):
             opt = ref_optimizer_mod.Optimizer(
                 saved_dir, gpu=0, instance_ids=[tgt_view], splits="test",
                 jsonfile="parity.json", batch_size=batch_size,
                 num_opts=num_opts)
+            if freeze_weights:
+                for p in opt.model.parameters():
+                    p.requires_grad_(False)
             opt.optimize_objs([tgt_view], lr=1e-2, lr_half_interval=50,
                               save_img=False)
         opt_s = time.time() - t0
     finally:
+        if n_eval_views != 250:
+            ref_optimizer_mod.range = real_range
+            ref_data_mod.load_poses, ref_data_mod.load_imgs = real_loaders
         os.chdir(cwd)
 
     per_obj_psnr = {int(k): float(np.mean(v)) for k, v in opt.psnr_eval.items()}
@@ -202,7 +250,9 @@ def run_reference_eval(workdir: str, saved_dir: str, num_opts: int,
 
 
 def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
-                  tgt_view: int, log, iters_crop: int = 0) -> dict:
+                  tgt_view: int, log, iters_crop: int = 0,
+                  n_eval_views: int = 250,
+                  freeze_weights: bool = False) -> dict:
     ref_trainer_mod, _ = _ref_modules()
 
     cwd = os.getcwd()
@@ -219,7 +269,9 @@ def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
         os.chdir(cwd)
 
     out = run_reference_eval(workdir, "ref_run", num_opts, batch_size,
-                             tgt_view, log, "reference (torch CPU)")
+                             tgt_view, log, "reference (torch CPU)",
+                             n_eval_views=n_eval_views,
+                             freeze_weights=freeze_weights)
     out["train_seconds"] = train_s
     return out
 
@@ -317,11 +369,15 @@ def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
 
 # --------------------------------------------------------------------- report
 def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None,
-                 cross: dict | None = None):
+                 cross: dict | None = None, section: str | None = None):
+    """Writes (or, with ``section``, APPENDS a ``## section`` block to) the
+    parity report — append mode lets the flagship-dims A/B land next to the
+    miniature 3-seed table instead of clobbering it."""
     rows = ([ref, ours] + ([cross] if cross else [])
             + ([clean] if clean else []))
-    lines = [
-        "# Reference parity — measured end-to-end A/B",
+    header = ([f"## {section}"] if section else
+              ["# Reference parity — measured end-to-end A/B"])
+    lines = header + [
         "",
         f"Generated by `tools/reference_parity.py` on {time.strftime('%Y-%m-%d')}. "
         "Both implementations trained + evaluated on IDENTICAL synthetic "
@@ -330,7 +386,8 @@ def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None,
         "`src/optimizer.py:48-135`) on torch CPU.",
         "",
         f"Protocol: {args.n_train} train objects x 50 views, {args.n_test} "
-        f"held-out objects x 250 views, {args.size}x{args.size} images, "
+        f"held-out objects x {args.n_eval_views} views, "
+        f"{args.size}x{args.size} images, "
         f"N_samples={args.n_samples}, W={args.width} latent="
         f"{args.latent_dim} MLP ({args.shape_blocks}+{args.texture_blocks} "
         f"blocks, PE {args.xyz_freq}/{args.dir_freq}), {args.iters} "
@@ -339,10 +396,14 @@ def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None,
         + f" (one {args.size * args.size}-ray image-step each), "
         f"then the reference eval protocol: mean-code init, {args.num_opts} "
         "code-only AdamW steps (lr 1e-2 halved/50) on view "
-        f"{args.tgt_view}, PSNR/SSIM over the remaining 249 views. "
+        f"{args.tgt_view}, PSNR/SSIM over the remaining "
+        f"{args.n_eval_views - 1} views. "
         "SSIM for BOTH sides is this repo's skimage-semantics implementation "
         "(data_range=2.0 float quirk included) — skimage itself is not "
-        "installed.",
+        "installed."
+        + (" The framework side ran on the TPU chip (same f32 math; the "
+           "gate is statistical — see notes)."
+           if args.ours_platform == "tpu" else ""),
         "",
         "| implementation | held-out PSNR (dB) | held-out SSIM | train s | opt+eval s |",
         "|---|---|---|---|---|",
@@ -381,7 +442,10 @@ def write_report(path: str, args, ref: dict, ours: dict, clean: dict | None,
         "  render (<= 5e-6 absolute).",
         "",
     ]
-    with open(path, "w") as f:
+    mode = "a" if section and os.path.exists(path) else "w"
+    with open(path, mode) as f:
+        if mode == "a":
+            f.write("\n")
         f.write("\n".join(lines))
     return delta
 
@@ -401,6 +465,32 @@ def main():
     ap.add_argument("--num_opts", type=int, default=200)
     ap.add_argument("--tgt_view", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n_eval_views", type=int, default=250,
+                    help="views per held-out object (250 = the reference's "
+                    "hardcoded eval loop; smaller patches range(250) — see "
+                    "run_reference_eval)")
+    ap.add_argument("--freeze_ref_opt", action="store_true",
+                    help="freeze model weights during the reference's "
+                    "test-time optimization (its AdamW only holds the "
+                    "codes; skips dW matmuls, code grads identical — "
+                    "equality covered by tests/test_reference_parity.py)")
+    ap.add_argument("--only_ref", action="store_true",
+                    help="run ONLY the reference side and dump its result "
+                    "to <workdir>/ref_result.json (the flagship A/B's "
+                    "reference side takes hours on this single core; this "
+                    "makes the run resumable)")
+    ap.add_argument("--ref_json", default=None,
+                    help="load a previously dumped reference result instead "
+                    "of re-running it")
+    ap.add_argument("--ours_platform", choices=["cpu", "tpu"], default="cpu",
+                    help="device for the framework side. cpu = strict "
+                    "apples-to-apples with torch CPU; tpu runs the same f32 "
+                    "math on the real chip (minutes instead of hours at "
+                    "flagship dims — trajectory differences are reduction-"
+                    "order-level, far below the per-seed spread)")
+    ap.add_argument("--section", default=None,
+                    help="APPEND the results as a '## <section>' block to "
+                    "the report instead of overwriting it")
     # Flagship architecture knobs (defaults = the round-3 miniature;
     # --flagship switches all four to the shipped srncar.json dims,
     # /root/reference/jsonfiles/srncar.json:2-9).
@@ -431,13 +521,16 @@ def main():
 
     # Force CPU for apples-to-apples with torch CPU (also: the axon
     # sitecustomize pins JAX_PLATFORMS, so set it via jax.config in-process).
+    # --ours_platform tpu leaves the axon TPU platform in place.
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.ours_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
     data_root, train_scene, test_scene = make_dataset(
-        args.workdir, args.n_train, args.n_test, args.size, args.seed)
+        args.workdir, args.n_train, args.n_test, args.size, args.seed,
+        n_eval_views=args.n_eval_views)
     net = {
         "shape_blocks": args.shape_blocks,
         "texture_blocks": args.texture_blocks,
@@ -453,11 +546,29 @@ def main():
 
     log_path = os.path.join(args.workdir, "run.log")
     with open(log_path, "w") as log:
-        print("running reference (torch CPU)...", flush=True)
-        ref = run_reference(args.workdir, args.iters, args.num_opts, batch,
-                            args.tgt_view, log, iters_crop=args.iters_crop)
-        print(f"  reference: {ref['psnr']:.2f} dB / {ref['ssim']:.4f} "
-              f"(train {ref['train_seconds']:.0f}s)", flush=True)
+        if args.ref_json:
+            with open(args.ref_json) as f:
+                ref = json.load(f)
+            for k in ("per_object_psnr", "per_object_ssim"):
+                ref[k] = {int(oi): v for oi, v in ref[k].items()}
+            print(f"loaded reference result from {args.ref_json}: "
+                  f"{ref['psnr']:.2f} dB / {ref['ssim']:.4f}", flush=True)
+        else:
+            print("running reference (torch CPU)...", flush=True)
+            ref = run_reference(args.workdir, args.iters, args.num_opts,
+                                batch, args.tgt_view, log,
+                                iters_crop=args.iters_crop,
+                                n_eval_views=args.n_eval_views,
+                                freeze_weights=args.freeze_ref_opt)
+            print(f"  reference: {ref['psnr']:.2f} dB / {ref['ssim']:.4f} "
+                  f"(train {ref['train_seconds']:.0f}s)", flush=True)
+            ref_path = os.path.join(args.workdir, "ref_result.json")
+            with open(ref_path, "w") as f:
+                json.dump(ref, f, indent=2)
+            if args.only_ref:
+                print(f"--only_ref: reference result saved to {ref_path}",
+                      flush=True)
+                return
         print("running codenerf_tpu (quirks-matched)...", flush=True)
         ours = run_framework(args.workdir, data_root, args.iters,
                              args.num_opts, batch, args.tgt_view,
@@ -473,7 +584,9 @@ def main():
             cross = run_reference_eval(
                 args.workdir, "xeval_run", args.num_opts, batch,
                 args.tgt_view, log,
-                "reference Optimizer scoring codenerf_tpu weights")
+                "reference Optimizer scoring codenerf_tpu weights",
+                n_eval_views=args.n_eval_views,
+                freeze_weights=args.freeze_ref_opt)
             print(f"  cross-eval: {cross['psnr']:.2f} dB / "
                   f"{cross['ssim']:.4f}", flush=True)
         clean = None
@@ -486,7 +599,8 @@ def main():
             print(f"  ours(clean): {clean['psnr']:.2f} dB / "
                   f"{clean['ssim']:.4f}", flush=True)
 
-    delta = write_report(args.report, args, ref, ours, clean, cross)
+    delta = write_report(args.report, args, ref, ours, clean, cross,
+                         section=args.section)
     out = {
         "reference_psnr": ref["psnr"], "framework_psnr": ours["psnr"],
         "delta_db": delta, "reference_ssim": ref["ssim"],
