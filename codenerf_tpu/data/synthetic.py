@@ -222,6 +222,40 @@ def synthetic_scene(
     }
 
 
+def synthetic_scene_cached(cache_dir: str, **kwargs) -> Dict[str, np.ndarray]:
+    """:func:`synthetic_scene` with a disk cache.
+
+    Full-scale protocols regenerate the same category every run — at real
+    SRN sizes (2,458 objects x 50 views or 704 x 250 at 128px) the analytic
+    render costs 6-45 min of the single host core per split. The cache key
+    is the full generation parameter set; images load back memory-mapped
+    (uint8, page-cache backed), so a cached full split is available in
+    milliseconds and only the pages a run touches become resident."""
+    sig = dict(kwargs)
+    key = "_".join(f"{k}-{sig[k]}" for k in sorted(sig))
+    path = os.path.join(cache_dir, key)
+    meta_path = os.path.join(path, "meta.npz")
+    if not os.path.exists(meta_path):
+        scene = synthetic_scene(**kwargs)
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "images.npy"), scene["images"])
+        # meta.npz is written LAST: its presence marks a complete entry
+        # (a run interrupted mid-write never half-loads).
+        np.savez(meta_path,
+                 **{k: v for k, v in scene.items() if k != "images"})
+        scene["images"] = np.load(os.path.join(path, "images.npy"),
+                                  mmap_mode="r")
+        return scene
+    meta = np.load(meta_path)
+    scene = {k: meta[k] for k in meta.files}
+    for k in ("H", "W"):
+        scene[k] = int(scene[k])
+    for k in ("near", "far"):
+        scene[k] = float(scene[k])
+    scene["images"] = np.load(os.path.join(path, "images.npy"), mmap_mode="r")
+    return scene
+
+
 def write_srn_layout(root: str, scene: Dict[str, np.ndarray],
                      cat: str = "srn_cars", splits: str = "cars_train") -> str:
     """Write a scene to disk in the SRN directory layout so the disk loader

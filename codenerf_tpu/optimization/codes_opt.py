@@ -1065,14 +1065,17 @@ class CodeOptimizer:
 
         return eval_view
 
-    def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool):
+    def _build_eval(self, H: int, W: int, chunk: int, deterministic: bool,
+                    with_images: bool = True):
         eval_view = self._make_eval_view(H, W, chunk, deterministic)
 
         # The whole eval sweep (the reference loops 249 views with one GPU
         # dispatch each, src/optimizer.py:110-130) is ONE jitted call: a
         # lax.map over views. On a remote-tunneled device this removes
-        # per-view round-trips; rendered images stay device-side unless
-        # the caller asks for them.
+        # per-view round-trips. ``with_images=False`` drops the stacked
+        # per-view rgb from the jit OUTPUTS entirely so XLA never
+        # materializes it (at the real SRN protocol — 249 views x 128px —
+        # that buffer is 783 MB/group of HBM for frames nobody reads).
         @jax.jit
         def eval_views(c2ws, focal, gts, shape_code, texture_code, key,
                        occ):
@@ -1081,29 +1084,34 @@ class CodeOptimizer:
 
             def one(xs):
                 c2w, gt, k = xs
-                return eval_view(c2w, focal, gt, shape_code, texture_code,
-                                 k, occ)
+                rgb, p, s = eval_view(c2w, focal, gt, shape_code,
+                                      texture_code, k, occ)
+                return (rgb, p, s) if with_images else (p, s)
 
             return jax.lax.map(one, (c2ws, gts, keys))
 
-        return eval_views
+        if with_images:
+            return eval_views
+        return lambda *a: (None, *eval_views(*a))
 
     def _build_eval_multi(self, H: int, W: int, chunk: int,
-                          deterministic: bool):
+                          deterministic: bool, with_images: bool = True):
         eval_view = self._make_eval_view(H, W, chunk, deterministic)
 
         # G objects × V views in ONE dispatch. Each object keeps its own
         # PRNG stream (split(key_g, V)) so per-view z-jitter matches the
-        # sequential evaluate_object calls exactly.
+        # sequential evaluate_object calls exactly. ``with_images`` as in
+        # :meth:`_build_eval`.
         def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g, occ):
             G, V = c2ws.shape[:2]
             keys = jax.vmap(lambda kg: jax.random.split(kg, V))(keys_g)
 
             def one(xs):
                 c2w, f, gt, sc, tc, k = xs
-                return eval_view(c2w, f, gt, sc, tc, k, occ)
+                rgb, p, s = eval_view(c2w, f, gt, sc, tc, k, occ)
+                return (rgb, p, s) if with_images else (p, s)
 
-            rgb, p, s = jax.lax.map(one, (
+            out = jax.lax.map(one, (
                 c2ws.reshape(G * V, *c2ws.shape[2:]),
                 jnp.repeat(focals, V),
                 gts.reshape(G * V, *gts.shape[2:]),
@@ -1111,26 +1119,35 @@ class CodeOptimizer:
                 jnp.repeat(tcs, V, axis=0),
                 keys.reshape(G * V, *keys.shape[2:]),
             ))
-            return (rgb.reshape(G, V, *rgb.shape[1:]),
-                    p.reshape(G, V), s.reshape(G, V))
+            if with_images:
+                rgb, p, s = out
+                return (rgb.reshape(G, V, *rgb.shape[1:]),
+                        p.reshape(G, V), s.reshape(G, V))
+            p, s = out
+            return p.reshape(G, V), s.reshape(G, V)
 
         if self.mesh is None:
-            return jax.jit(eval_views_multi)
+            fn = jax.jit(eval_views_multi)
+        else:
+            # Object-sharded eval sweep: each device scores its own block
+            # of objects' held-out views; only the (G, V') metric shards
+            # travel. The body derives G from its LOCAL shapes, so
+            # sharding it is pure wrapping (frozen params are closure
+            # constants -> replicated).
+            from jax.sharding import PartitionSpec as P
 
-        # Object-sharded eval sweep: each device scores its own block of
-        # objects' held-out views; only the (G, V') metric shards travel.
-        # The body derives G from its LOCAL shapes, so sharding it is pure
-        # wrapping (frozen params are closure constants -> replicated).
-        from jax.sharding import PartitionSpec as P
+            from codenerf_tpu.parallel.mesh import batch_axes, \
+                shard_map_compat
 
-        from codenerf_tpu.parallel.mesh import batch_axes, shard_map_compat
-
-        ax = batch_axes(self.mesh)
-        sh = P(ax)
-        return jax.jit(shard_map_compat(
-            eval_views_multi, self.mesh,
-            in_specs=(sh, sh, sh, sh, sh, sh, P()),
-            out_specs=(sh, sh, sh)))
+            ax = batch_axes(self.mesh)
+            sh = P(ax)
+            fn = jax.jit(shard_map_compat(
+                eval_views_multi, self.mesh,
+                in_specs=(sh, sh, sh, sh, sh, sh, P()),
+                out_specs=(sh, sh, sh) if with_images else (sh, sh)))
+        if with_images:
+            return fn
+        return lambda *a: (None, *fn(*a))
 
     def optimize_objects(
         self,
@@ -1183,10 +1200,11 @@ class CodeOptimizer:
         ``return_images=False`` the rendered frames stay device-side —
         only the (G, V') metric arrays cross the tunnel."""
         H, W = images.shape[2:4]
-        cache_key = (H, W, self.chunk, deterministic)
+        cache_key = (H, W, self.chunk, deterministic, return_images)
         if self._eval_multi_fn is None or self._eval_multi_key != cache_key:
             self._eval_multi_fn = self._build_eval_multi(
-                H, W, self.chunk, deterministic)
+                H, W, self.chunk, deterministic,
+                with_images=return_images)
             self._eval_multi_key = cache_key
         excl = set(int(i) for i in exclude_views)
         idxs = [v for v in range(images.shape[1]) if v not in excl]
@@ -1242,9 +1260,11 @@ class CodeOptimizer:
         quirk 2). ``deterministic=True`` renders midpoint z-values instead
         (the z_fixed analog the reference never exercises)."""
         H, W = images.shape[1:3]
-        cache_key = (H, W, self.chunk, deterministic)
+        cache_key = (H, W, self.chunk, deterministic, return_images)
         if self._eval_fn is None or self._eval_key != cache_key:
-            self._eval_fn = self._build_eval(H, W, self.chunk, deterministic)
+            self._eval_fn = self._build_eval(H, W, self.chunk,
+                                             deterministic,
+                                             with_images=return_images)
             self._eval_key = cache_key
         excl = set(int(i) for i in exclude_views)
         idxs = [v for v in range(images.shape[0]) if v not in excl]

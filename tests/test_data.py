@@ -200,3 +200,29 @@ def test_prefetch_worker_failure_raises(tiny_scene):
     with pytest.raises(RuntimeError, match="prefetch worker failed"):
         next(it)
     it.close()
+
+
+def test_synthetic_scene_cache_roundtrip(tmp_path):
+    """synthetic_scene_cached returns the generator's exact arrays — first
+    call generates + persists, second call memory-maps the same bytes (the
+    full-scale protocols regenerate 6-45 min of scenes otherwise)."""
+    from codenerf_tpu.data.synthetic import (
+        synthetic_scene,
+        synthetic_scene_cached,
+    )
+
+    kw = dict(n_objects=2, n_views=3, H=16, W=16, seed=5, pattern=True,
+              geometry="chair")
+    fresh = synthetic_scene(**kw)
+    first = synthetic_scene_cached(str(tmp_path), **kw)
+    again = synthetic_scene_cached(str(tmp_path), **kw)
+    for got in (first, again):
+        np.testing.assert_array_equal(got["images"], fresh["images"])
+        np.testing.assert_array_equal(got["poses"], fresh["poses"])
+        np.testing.assert_array_equal(got["focals"], fresh["focals"])
+        assert (got["H"], got["W"]) == (16, 16)
+        assert got["near"] == fresh["near"] and got["far"] == fresh["far"]
+    assert isinstance(again["images"], np.memmap)
+    # Different params -> different entry.
+    other = synthetic_scene_cached(str(tmp_path), **{**kw, "seed": 6})
+    assert not np.array_equal(other["images"], fresh["images"])

@@ -44,13 +44,19 @@ def run_once(args, seed: int, out_dir: str) -> dict:
         RenderConfig,
         TrainOccupancyConfig,
     )
-    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.data.synthetic import (
+        synthetic_scene,
+        synthetic_scene_cached,
+    )
     from codenerf_tpu.models.codes import mean_code
     from codenerf_tpu.optimization.codes_opt import CodeOptimizer
     from codenerf_tpu.training.trainer import Trainer
     from codenerf_tpu.utils.images import save_png, side_by_side
 
     os.makedirs(out_dir, exist_ok=True)
+    if args.scene_cache:
+        def synthetic_scene(**kw):  # noqa: F811 — cached drop-in
+            return synthetic_scene_cached(args.scene_cache, **kw)
     if args.n_test_views is None:
         # Standard protocol (rounds 2-3): one category draw, sliced into
         # train/held-out — kept bitwise reproducible.
@@ -329,6 +335,11 @@ def main() -> None:
                     help="write side-by-side PNGs for the first N test "
                          "objects only (at 704 objects the per-object "
                          "image D2H + PNG encode dominates)")
+    ap.add_argument("--scene_cache", type=str, default=None,
+                    help="directory caching generated synthetic scenes "
+                         "(full-scale splits cost 6-45 min of the single "
+                         "host core to regenerate; cached images load back "
+                         "memory-mapped)")
     ap.add_argument("--codes_per_update", type=int, default=None,
                     help="objects refreshed per occupancy update "
                          "(default: auto — scales with the category so "
