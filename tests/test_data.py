@@ -226,3 +226,26 @@ def test_synthetic_scene_cache_roundtrip(tmp_path):
     # Different params -> different entry.
     other = synthetic_scene_cached(str(tmp_path), **{**kw, "seed": 6})
     assert not np.array_equal(other["images"], fresh["images"])
+
+
+def test_synthetic_jax_backend_matches_numpy():
+    """The accelerator-batched scene renderer is the same math as the numpy
+    path in f32: poses/params identical, pixels within one uint8 gray level
+    (f64-vs-f32 quantization edges only — measured <0.002% of pixels on a
+    pattern scene, zero without the pattern term). The jax backend is what
+    makes full-scale splits generable in minutes (numpy: 29 ms/view for the
+    6-box chair at 128px = 4.5 h for the real SRN-chairs split)."""
+    from codenerf_tpu.data.synthetic import synthetic_scene
+
+    for geometry in ("sphere", "chair"):
+        kw = dict(n_objects=3, n_views=5, H=48, W=48, seed=7, pattern=True,
+                  geometry=geometry)
+        a = synthetic_scene(**kw)
+        b = synthetic_scene(**kw, backend="jax")
+        np.testing.assert_array_equal(a["poses"], b["poses"])
+        np.testing.assert_array_equal(a["focals"], b["focals"])
+        assert (a["near"], a["far"]) == (b["near"], b["far"])
+        diff = np.abs(a["images"].astype(np.int32)
+                      - b["images"].astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 5e-3

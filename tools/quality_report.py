@@ -56,6 +56,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     if args.scene_cache:
         def synthetic_scene(**kw):  # noqa: F811 — cached drop-in
+            # The default backend stays OUT of the cache key so entries
+            # written before the backend option existed keep resolving.
+            if kw.get("backend") == "numpy":
+                kw.pop("backend")
             return synthetic_scene_cached(args.scene_cache, **kw)
     if args.n_test_views is None:
         # Standard protocol (rounds 2-3): one category draw, sliced into
@@ -65,7 +69,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                                 H=args.size, W=args.size,
                                 seed=11 + 100 * seed, pattern=True,
                                 geometry=args.geometry,
-                                cam_distance=args.cam_distance)
+                                cam_distance=args.cam_distance,
+                                backend=args.scene_backend)
         train_scene = {
             "images": scene["images"][: args.n_train_objects],
             "poses": scene["poses"][: args.n_train_objects],
@@ -83,13 +88,14 @@ def run_once(args, seed: int, out_dir: str) -> dict:
         scene = synthetic_scene(
             n_objects=args.n_train_objects, n_views=args.n_views,
             H=args.size, W=args.size, seed=11 + 100 * seed, pattern=True,
-            geometry=args.geometry, cam_distance=args.cam_distance)
+            geometry=args.geometry, cam_distance=args.cam_distance,
+            backend=args.scene_backend)
         train_scene = scene
         test_scene = synthetic_scene(
             n_objects=args.n_test_objects, n_views=args.n_test_views,
             H=args.size, W=args.size, seed=11 + 100 * seed + 57,
             pattern=True, geometry=args.geometry,
-            cam_distance=args.cam_distance)
+            cam_distance=args.cam_distance, backend=args.scene_backend)
         test_base = 0
         print(f"[seed {seed}] scene gen: {args.n_train_objects}x"
               f"{args.n_views} train + {args.n_test_objects}x"
@@ -340,6 +346,12 @@ def main() -> None:
                          "(full-scale splits cost 6-45 min of the single "
                          "host core to regenerate; cached images load back "
                          "memory-mapped)")
+    ap.add_argument("--scene_backend", type=str, default="numpy",
+                    choices=("numpy", "jax"),
+                    help="synthetic render backend: 'jax' batches every "
+                         "(object, view) pair on the default device "
+                         "(TPU: 7.7 ms/view at 128px chair vs 29 numpy "
+                         "— full-scale splits in minutes, not hours)")
     ap.add_argument("--codes_per_update", type=int, default=None,
                     help="objects refreshed per occupancy update "
                          "(default: auto — scales with the category so "
