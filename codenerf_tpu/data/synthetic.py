@@ -133,35 +133,23 @@ def _render_boxes(
     return img.astype(np.float32)
 
 
-def _render_pairs_jax(
-    H: int, W: int, focal: float,
-    c2w: np.ndarray,          # (P, 4, 4) one camera per (object, view) pair
-    albedo: np.ndarray,       # (P, 3)
-    pattern: bool,
-    geometry: str,
-    radius: Optional[np.ndarray] = None,   # (P,) sphere
-    boxes: Optional[np.ndarray] = None,    # (P, B, 2, 3) chair
-    yaw: Optional[np.ndarray] = None,      # (P,) chair
-    chunk_pairs: int = 2048,
-) -> np.ndarray:
-    """Accelerator-batched analytic renderer (same math as the numpy path,
-    f32): all (object, view) pairs ride ``lax.map`` over the default jax
-    device. The per-pair python loop is what made full-scale scene
-    generation cost tens of minutes to hours of the single host core
-    (29 ms/view for the 6-box chair at 128px -> 4.5 h for the real
-    SRN-chairs split); on device the whole split renders in seconds and
-    the wall-clock is the D2H transfer. Values differ from the numpy
-    backend only by f32-vs-f64 rounding at the uint8 quantization edge
-    (tested <=1 gray level on >99% of pixels)."""
+def make_view_fn(H: int, W: int, pattern: bool, geometry: str):
+    """Traceable single-view analytic renderer — the f32 transcription of
+    :func:`_render_sphere` / :func:`_render_boxes`.
+
+    Returns ``fn(c2w, focal, albedo, *geom) -> (H*W, 3) f32 in [0, 1]``
+    (pre-quantization) where ``geom`` is ``(radius,)`` for spheres and
+    ``(boxes, yaw)`` for chairs. Usable under jit/vmap/lax.map — it backs
+    both the batched scene generator (:func:`_render_pairs_jax`) and
+    device-rendered eval ground truth (:func:`make_gt_view_renderer`),
+    so synthetic GT never has to cross the host↔device tunnel."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     v, u = np.meshgrid(np.arange(H, dtype=np.float32),
                        np.arange(W, dtype=np.float32), indexing="ij")
-    dirs_cam = np.stack(
-        [(u - W * 0.5) / focal, -(v - H * 0.5) / focal, -np.ones_like(u)], -1
-    ).reshape(-1, 3)                                   # (HW, 3)
+    u = u.reshape(-1)
+    v = v.reshape(-1)
 
     def shade_and_compose(hit, shade_raw, point, alb):
         shade = jnp.clip(shade_raw, 0.2, 1.0)
@@ -170,15 +158,20 @@ def _render_pairs_jax(
             shade = shade * (0.75 + 0.25 * jnp.sin(5.0 * p[..., 0])
                              * jnp.sin(5.0 * p[..., 1])
                              * jnp.sin(5.0 * p[..., 2]))
-        img = jnp.where(hit[..., None], alb[None, :] * shade[..., None], 1.0)
-        return jnp.round(img * 255.0).astype(jnp.uint8)
+        return jnp.where(hit[..., None], alb[None, :] * shade[..., None],
+                         1.0)
+
+    def rays(c2w, focal):
+        dirs_cam = jnp.stack(
+            [(u - W * 0.5) / focal, -(v - H * 0.5) / focal,
+             -jnp.ones_like(u)], -1)                     # (HW, 3)
+        rd = dirs_cam @ c2w[:3, :3].T
+        return rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
     if geometry == "sphere":
-        def render_one(args):
-            c2w_i, alb, rad = args
-            rd = dirs_cam @ c2w_i[:3, :3].T
-            rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-            ro = c2w_i[:3, 3]
+        def view_fn(c2w, focal, alb, rad):
+            rd = rays(c2w, focal)
+            ro = c2w[:3, 3]
             b = jnp.sum(ro * rd, axis=-1)
             c = jnp.dot(ro, ro) - rad * rad
             disc = b * b - c
@@ -188,15 +181,10 @@ def _render_pairs_jax(
             normal = point / jnp.maximum(rad, 1e-8)
             return shade_and_compose(
                 hit, jnp.sum(normal * -rd, axis=-1), point, alb)
-        operands = (jnp.asarray(c2w, jnp.float32),
-                    jnp.asarray(albedo, jnp.float32),
-                    jnp.asarray(radius, jnp.float32))
     else:
-        def render_one(args):
-            c2w_i, alb, bxs, yw = args
-            rd_w = dirs_cam @ c2w_i[:3, :3].T
-            rd_w = rd_w / jnp.linalg.norm(rd_w, axis=-1, keepdims=True)
-            ro_w = jnp.broadcast_to(c2w_i[:3, 3], rd_w.shape)
+        def view_fn(c2w, focal, alb, bxs, yw):
+            rd_w = rays(c2w, focal)
+            ro_w = jnp.broadcast_to(c2w[:3, 3], rd_w.shape)
             cz, sz = jnp.cos(-yw), jnp.sin(-yw)
             rot = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
             rot = rot.at[0, 0].set(cz).at[0, 1].set(-sz) \
@@ -227,10 +215,74 @@ def _render_pairs_jax(
             point = ro + tb[..., None] * rd
             return shade_and_compose(
                 hit, jnp.sum(normal * -rd, axis=-1), point, alb)
-        operands = (jnp.asarray(c2w, jnp.float32),
-                    jnp.asarray(albedo, jnp.float32),
-                    jnp.asarray(boxes, jnp.float32),
-                    jnp.asarray(yaw, jnp.float32))
+
+    return view_fn
+
+
+def make_gt_view_renderer(H: int, W: int, pattern: bool, geometry: str):
+    """Traceable ground-truth view renderer for synthetic eval sweeps.
+
+    ``fn(c2w, focal, params) -> (H, W, 3) f32`` where ``params`` is a dict
+    with ``albedo`` plus ``radius`` (sphere) or ``boxes``/``yaw`` (chair),
+    all per-object leaves. The output is uint8-QUANTIZED then rescaled
+    (``round(x*255)/255``) so it equals what the stored dataset image
+    decodes to — eval metrics against device-rendered GT match eval
+    against the host image within the float-associativity noise the
+    uint8-H2D path already carries."""
+    import jax.numpy as jnp
+
+    view_fn = make_view_fn(H, W, pattern, geometry)
+
+    def gt_view(c2w, focal, params):
+        if geometry == "sphere":
+            rgb = view_fn(c2w, focal, params["albedo"], params["radius"])
+        else:
+            rgb = view_fn(c2w, focal, params["albedo"], params["boxes"],
+                          params["yaw"])
+        return (jnp.round(rgb * 255.0) / 255.0).reshape(H, W, 3)
+
+    return gt_view
+
+
+def _render_pairs_jax(
+    H: int, W: int, focal: float,
+    c2w: np.ndarray,          # (P, 4, 4) one camera per (object, view) pair
+    albedo: np.ndarray,       # (P, 3)
+    pattern: bool,
+    geometry: str,
+    radius: Optional[np.ndarray] = None,   # (P,) sphere
+    boxes: Optional[np.ndarray] = None,    # (P, B, 2, 3) chair
+    yaw: Optional[np.ndarray] = None,      # (P,) chair
+    chunk_pairs: int = 2048,
+) -> np.ndarray:
+    """Accelerator-batched analytic renderer (same math as the numpy path,
+    f32): all (object, view) pairs ride ``lax.map`` over the default jax
+    device. The per-pair python loop is what made full-scale scene
+    generation cost tens of minutes to hours of the single host core
+    (29 ms/view for the 6-box chair at 128px -> 4.5 h for the real
+    SRN-chairs split); on device the whole split renders in seconds and
+    the wall-clock is the D2H transfer. Values differ from the numpy
+    backend only by f32-vs-f64 rounding at the uint8 quantization edge
+    (tested <=1 gray level on >99% of pixels)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    view_fn = make_view_fn(H, W, pattern, geometry)
+    focal_arr = jnp.float32(focal)
+
+    def render_one(args):
+        c2w_i, alb, *geom = args
+        rgb = view_fn(c2w_i, focal_arr, alb, *geom)
+        return jnp.round(rgb * 255.0).astype(jnp.uint8)
+
+    operands = (jnp.asarray(c2w, jnp.float32),
+                jnp.asarray(albedo, jnp.float32))
+    if geometry == "sphere":
+        operands += (jnp.asarray(radius, jnp.float32),)
+    else:
+        operands += (jnp.asarray(boxes, jnp.float32),
+                     jnp.asarray(yaw, jnp.float32))
 
     # Inner lax.map bounds device memory (vmap over batch_size-pair
     # sub-batches inside one executable); the outer python loop bounds the
@@ -287,6 +339,7 @@ def synthetic_scene(
     pattern: bool = False,
     geometry: str = "sphere",
     backend: str = "numpy",
+    params_only: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Build an in-memory multi-object scene.
 
@@ -300,6 +353,13 @@ def synthetic_scene(
     at quantization edges). Use it for full-scale splits where the numpy
     path's per-view python loop costs minutes-to-hours of the single host
     core; the default stays "numpy" so existing tests/caches are untouched.
+
+    ``params_only=True`` skips rendering entirely and returns poses +
+    per-object generation parameters (``radii``/``albedos``, plus
+    ``boxes``/``yaws`` for chairs) — the inputs a device-side GT renderer
+    (:func:`make_gt_view_renderer`) needs. The parameter draws are
+    identical to the rendering path's (same RNG order), so a params-only
+    scene describes exactly the images the full call would produce.
     """
     if geometry not in ("sphere", "chair"):
         raise ValueError(f"unknown geometry {geometry!r}")
@@ -326,7 +386,9 @@ def synthetic_scene(
         c2ws[vi] = _look_at(cam, np.zeros(3), np.array([0.0, 0.0, 1.0]))
         poses[:, vi] = c2ws[vi].astype(np.float32)
 
-    if backend == "jax":
+    if params_only:
+        images = None
+    elif backend == "jax":
         # One flattened (object, view) pair axis; camera vi repeats per
         # object, per-object params repeat per view — matching the numpy
         # loop's (oi, vi) assignment exactly.
@@ -357,7 +419,7 @@ def synthetic_scene(
                                          albedos[oi], pattern=pattern)
                 images[oi, vi] = np.round(img * 255.0).astype(np.uint8)
 
-    return {
+    out = {
         "images": images,
         "poses": poses,
         "focals": np.full((n_objects,), focal, dtype=np.float32),
@@ -367,7 +429,15 @@ def synthetic_scene(
         "far": float(cam_distance + 1.8),
         "radii": radii,
         "albedos": albedos,
+        "pattern": pattern,
+        "geometry": geometry,
     }
+    if geometry == "chair":
+        out["boxes"] = np.stack(chairs).astype(np.float32)  # (N, B, 2, 3)
+        out["yaws"] = yaws.astype(np.float32)
+    if params_only:
+        out.pop("images")
+    return out
 
 
 def synthetic_scene_cached(cache_dir: str, **kwargs) -> Dict[str, np.ndarray]:
@@ -400,6 +470,9 @@ def synthetic_scene_cached(cache_dir: str, **kwargs) -> Dict[str, np.ndarray]:
         scene[k] = int(scene[k])
     for k in ("near", "far"):
         scene[k] = float(scene[k])
+    if "geometry" in scene:   # newer entries carry generation params too
+        scene["geometry"] = str(scene["geometry"])
+        scene["pattern"] = bool(scene["pattern"])
     scene["images"] = np.load(os.path.join(path, "images.npy"), mmap_mode="r")
     return scene
 

@@ -1024,9 +1024,15 @@ class CodeOptimizer:
         return res
 
     def _make_eval_view(self, H: int, W: int, chunk: int,
-                        deterministic: bool):
+                        deterministic: bool, gt_render=None):
         """Shared per-view render+score closure for the single- and
-        multi-object eval builders."""
+        multi-object eval builders.
+
+        ``gt_render`` (optional) turns the ``gt`` argument from a pixel
+        array into a per-object GT parameter pytree: the view's ground
+        truth is rendered ON DEVICE by ``gt_render(c2w, focal, gt)``
+        instead of crossing the tunnel (synthetic protocols only — see
+        :func:`codenerf_tpu.data.synthetic.make_gt_view_renderer`)."""
         net_cfg, rcfg = self.hp.net, self.hp.render
         compute_dtype = resolve_dtype(self.hp.compute_dtype)
         from codenerf_tpu.renderer import chunk_plan, pad_rays
@@ -1034,7 +1040,9 @@ class CodeOptimizer:
         chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
 
         def eval_view(c2w, focal, gt, shape_code, texture_code, key, occ):
-            if gt.dtype == jnp.uint8:
+            if gt_render is not None:
+                gt = gt_render(c2w, focal, gt)
+            elif gt.dtype == jnp.uint8:
                 # GT crossed the tunnel as uint8 (4x fewer bytes). XLA
                 # strength-reduces the constant /255 into a reciprocal
                 # multiply, so pixels can sit 1 ulp off the host-converted
@@ -1095,13 +1103,18 @@ class CodeOptimizer:
         return lambda *a: (None, *eval_views(*a))
 
     def _build_eval_multi(self, H: int, W: int, chunk: int,
-                          deterministic: bool, with_images: bool = True):
-        eval_view = self._make_eval_view(H, W, chunk, deterministic)
+                          deterministic: bool, with_images: bool = True,
+                          gt_render=None):
+        eval_view = self._make_eval_view(H, W, chunk, deterministic,
+                                         gt_render=gt_render)
 
         # G objects × V views in ONE dispatch. Each object keeps its own
         # PRNG stream (split(key_g, V)) so per-view z-jitter matches the
         # sequential evaluate_object calls exactly. ``with_images`` as in
-        # :meth:`_build_eval`.
+        # :meth:`_build_eval`. With ``gt_render``, ``gts`` is a per-object
+        # parameter pytree ((G, ...) leaves, view-independent) instead of
+        # a (G, V, H, W, 3) pixel array — GT renders on device, so the
+        # sweep's only H2D inputs are poses/codes/params (KBs, not GBs).
         def eval_views_multi(c2ws, focals, gts, scs, tcs, keys_g, occ):
             G, V = c2ws.shape[:2]
             keys = jax.vmap(lambda kg: jax.random.split(kg, V))(keys_g)
@@ -1111,10 +1124,15 @@ class CodeOptimizer:
                 rgb, p, s = eval_view(c2w, f, gt, sc, tc, k, occ)
                 return (rgb, p, s) if with_images else (p, s)
 
+            if gt_render is None:
+                gts_flat = gts.reshape(G * V, *gts.shape[2:])
+            else:
+                gts_flat = jax.tree.map(
+                    lambda x: jnp.repeat(x, V, axis=0), gts)
             out = jax.lax.map(one, (
                 c2ws.reshape(G * V, *c2ws.shape[2:]),
                 jnp.repeat(focals, V),
-                gts.reshape(G * V, *gts.shape[2:]),
+                gts_flat,
                 jnp.repeat(scs, V, axis=0),
                 jnp.repeat(tcs, V, axis=0),
                 keys.reshape(G * V, *keys.shape[2:]),
@@ -1184,7 +1202,7 @@ class CodeOptimizer:
 
     def evaluate_objects(
         self,
-        images: np.ndarray,   # (G, V, H, W, 3) float [0,1] or uint8
+        images: Optional[np.ndarray],   # (G, V, H, W, 3) float/uint8
         poses: np.ndarray,    # (G, V, 4, 4)
         focals: np.ndarray,   # (G,)
         exclude_views: Sequence[int],
@@ -1193,23 +1211,49 @@ class CodeOptimizer:
         keys: jax.Array,      # (G,) stacked PRNG keys, one per object
         return_images: bool = False,
         deterministic: bool = False,
+        gt_params: Optional[Dict] = None,
     ) -> Dict[str, np.ndarray]:
         """Reference eval protocol over G objects in ONE dispatch: PSNR/
         SSIM per (object, view) for every view not in ``exclude_views``
         (the same exclusion applies to all G objects). With
         ``return_images=False`` the rendered frames stay device-side —
-        only the (G, V') metric arrays cross the tunnel."""
-        H, W = images.shape[2:4]
-        cache_key = (H, W, self.chunk, deterministic, return_images)
+        only the (G, V') metric arrays cross the tunnel.
+
+        ``gt_params`` (synthetic protocols) renders the ground truth ON
+        DEVICE instead of shipping pixels: a dict with static ``geometry``
+        / ``pattern`` / ``hw`` plus per-object leaves ``albedo`` (G, 3)
+        and ``radius`` (G,) or ``boxes`` (G, B, 2, 3) + ``yaw`` (G,) —
+        the fields :func:`codenerf_tpu.data.synthetic.synthetic_scene`
+        returns (``params_only=True``). ``images`` may then be ``None``;
+        at the full-scale 128px protocol this removes the ~200 MB/group
+        uint8 GT H2D that was half the eval wall on the tunneled device.
+        Device-rendered GT is uint8-quantized like the stored images, so
+        metrics match the pixel path within the last-ulp float noise the
+        uint8-H2D path already carries."""
+        if gt_params is not None:
+            H, W = gt_params["hw"]
+            n_views = poses.shape[1]
+        else:
+            H, W = images.shape[2:4]
+            n_views = images.shape[1]
+        gt_mode = (None if gt_params is None
+                   else (gt_params["geometry"], bool(gt_params["pattern"])))
+        cache_key = (H, W, self.chunk, deterministic, return_images,
+                     gt_mode)
         if self._eval_multi_fn is None or self._eval_multi_key != cache_key:
+            gt_render = None
+            if gt_params is not None:
+                from codenerf_tpu.data.synthetic import make_gt_view_renderer
+                gt_render = make_gt_view_renderer(
+                    H, W, bool(gt_params["pattern"]), gt_params["geometry"])
             self._eval_multi_fn = self._build_eval_multi(
                 H, W, self.chunk, deterministic,
-                with_images=return_images)
+                with_images=return_images, gt_render=gt_render)
             self._eval_multi_key = cache_key
         excl = set(int(i) for i in exclude_views)
-        idxs = [v for v in range(images.shape[1]) if v not in excl]
+        idxs = [v for v in range(n_views) if v not in excl]
 
-        G = images.shape[0]
+        G = poses.shape[0]
         G_run = G
         if self.mesh is not None:
             from codenerf_tpu.parallel.mesh import n_batch_shards
@@ -1223,12 +1267,20 @@ class CodeOptimizer:
             reps = jnp.broadcast_to(x[-1:], (G_run - G, *x.shape[1:]))
             return jnp.concatenate([x, reps], axis=0)
 
-        gts = images[:, idxs]
+        if gt_params is not None:
+            leaves = {k: jnp.asarray(gt_params[k], dtype=jnp.float32)
+                      for k in ("albedo", "radius", "boxes", "yaw")
+                      if k in gt_params}
+            gts_arg = jax.tree.map(pad_objs, leaves)
+        else:
+            gts = images[:, idxs]
+            gts_arg = pad_objs(
+                jnp.asarray(gts) if gts.dtype == np.uint8
+                else jnp.asarray(gts, dtype=jnp.float32))
         rgb, p, s = self._eval_multi_fn(
             pad_objs(jnp.asarray(poses[:, idxs])),
             pad_objs(jnp.asarray(focals, dtype=jnp.float32)),
-            pad_objs(jnp.asarray(gts) if gts.dtype == np.uint8
-                     else jnp.asarray(gts, dtype=jnp.float32)),
+            gts_arg,
             pad_objs(jnp.asarray(shape_codes)),
             pad_objs(jnp.asarray(texture_codes)),
             pad_objs(jnp.asarray(keys)), self.occ_grid,

@@ -473,3 +473,37 @@ def test_uint8_image_transport_bitwise(trained):
         shape_codes=scs, texture_codes=tcs, keys=keys)
     np.testing.assert_allclose(evm_u8["psnr"], evm_f32["psnr"], atol=1e-4)
     np.testing.assert_allclose(evm_u8["ssim"], evm_f32["ssim"], atol=5e-6)
+
+
+def test_device_gt_eval_matches_pixel_gt(trained):
+    """evaluate_objects(gt_params=...) renders the ground truth ON DEVICE
+    from the synthetic generation parameters instead of taking GT pixels —
+    the (G, V', H, W, 3) uint8 H2D is ~half the full-scale eval wall on the
+    tunneled chip. Device GT is uint8-quantized like the stored image, so
+    the metrics must match the pixel path within last-ulp float noise
+    (both geometries, pattern on)."""
+    opt, tr, scene, hp = _make_optimizer(trained)
+    from codenerf_tpu.data.synthetic import synthetic_scene
+
+    for geometry in ("sphere", "chair"):
+        sc = synthetic_scene(n_objects=2, n_views=4, H=16, W=16, seed=3,
+                             pattern=True, geometry=geometry, backend="jax")
+        keys = jnp.stack([jax.random.PRNGKey(7), jax.random.PRNGKey(8)])
+        scs = jnp.stack([opt.mean_shape, 1.02 * opt.mean_shape])
+        tcs = jnp.stack([opt.mean_texture, 0.98 * opt.mean_texture])
+        common = dict(exclude_views=[0], shape_codes=scs,
+                      texture_codes=tcs, keys=keys)
+        ev_px = opt.evaluate_objects(sc["images"], sc["poses"],
+                                     sc["focals"], **common)
+        if geometry == "chair":
+            leaves = dict(albedo=sc["albedos"], boxes=sc["boxes"],
+                          yaw=sc["yaws"])
+        else:
+            leaves = dict(albedo=sc["albedos"], radius=sc["radii"])
+        gt_params = dict(geometry=geometry, pattern=True, hw=(16, 16),
+                         **leaves)
+        ev_dev = opt.evaluate_objects(None, sc["poses"], sc["focals"],
+                                      gt_params=gt_params, **common)
+        np.testing.assert_array_equal(ev_px["views"], ev_dev["views"])
+        np.testing.assert_allclose(ev_dev["psnr"], ev_px["psnr"], atol=0.02)
+        np.testing.assert_allclose(ev_dev["ssim"], ev_px["ssim"], atol=1e-3)

@@ -313,3 +313,39 @@ def test_codes_opt_mesh_with_occupancy_and_stochastic(trained):
                                np.asarray(base.shape_codes), atol=1e-5)
     np.testing.assert_allclose(np.asarray(shard.psnr_history),
                                np.asarray(base.psnr_history), atol=1e-3)
+
+
+def test_multi_object_eval_mesh_with_device_gt(trained):
+    """Object-sharded eval composes with device-rendered GT: the GT
+    parameter pytree shards over the object axis like the pixel GT would
+    (spec-prefix broadcast across its leaves), and every (object, view)
+    score matches the single-device device-GT sweep."""
+    from codenerf_tpu.data.synthetic import synthetic_scene
+    from codenerf_tpu.optimization.codes_opt import CodeOptimizer
+
+    (params, hp, mean_s, mean_t, _imgs, _poses, _focals, _ro, _vd, _gt,
+     _keys) = _codes_opt_inputs(trained)
+    sc = synthetic_scene(n_objects=4, n_views=3, H=16, W=16, seed=9,
+                         pattern=True, geometry="chair", backend="jax")
+    G = 4
+    scs = jnp.stack([mean_s * (1 + 0.01 * g) for g in range(G)])
+    tcs = jnp.stack([mean_t * (1 - 0.01 * g) for g in range(G)])
+    ekeys = jnp.stack([jax.random.PRNGKey(130 + g) for g in range(G)])
+    gt_params = dict(geometry="chair", pattern=True, hw=(16, 16),
+                     albedo=sc["albedos"], boxes=sc["boxes"],
+                     yaw=sc["yaws"])
+
+    def build(mesh):
+        return CodeOptimizer(params=params, hp=hp, mean_shape=mean_s,
+                             mean_texture=mean_t, chunk=256, mesh=mesh)
+
+    common = dict(exclude_views=[0], shape_codes=scs, texture_codes=tcs,
+                  keys=ekeys, gt_params=gt_params)
+    ev1 = build(None).evaluate_objects(None, sc["poses"], sc["focals"],
+                                       **common)
+    ev8 = build(make_mesh(model=1)).evaluate_objects(
+        None, sc["poses"], sc["focals"], **common)
+
+    np.testing.assert_array_equal(ev1["views"], ev8["views"])
+    np.testing.assert_allclose(ev8["psnr"], ev1["psnr"], atol=1e-3)
+    np.testing.assert_allclose(ev8["ssim"], ev1["ssim"], atol=1e-4)

@@ -54,6 +54,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     from codenerf_tpu.utils.images import save_png, side_by_side
 
     os.makedirs(out_dir, exist_ok=True)
+    _synthetic_scene_raw = synthetic_scene
     if args.scene_cache:
         def synthetic_scene(**kw):  # noqa: F811 — cached drop-in
             # The default backend stays OUT of the cache key so entries
@@ -161,6 +162,31 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     t_test0 = time.time()
     key = jax.random.PRNGKey(seed)
     group = max(1, args.opt_group)
+    gt_leaves = None
+    if args.device_gt:
+        # Eval GT renders ON DEVICE from the generation parameters —
+        # re-drawn here (params_only skips rendering, milliseconds) with
+        # the test scene's exact kwargs, so they describe its images
+        # bit-for-bit. Kills the (G, V', H, W, 3) uint8 GT H2D that is
+        # ~half the eval wall at 250 views x 128px on the tunneled chip.
+        if group == 1:
+            raise SystemExit("--device_gt requires --opt_group > 1 "
+                             "(the batched eval sweep)")
+        tp = _synthetic_scene_raw(
+            n_objects=test_scene["images"].shape[0],
+            n_views=test_scene["images"].shape[1],
+            H=args.size, W=args.size,
+            seed=(11 + 100 * seed) if args.n_test_views is None
+            else (11 + 100 * seed + 57),
+            pattern=True, geometry=args.geometry,
+            cam_distance=args.cam_distance, params_only=True)
+        assert np.array_equal(tp["poses"], test_scene["poses"]), \
+            "params-only draw diverged from the test scene"
+        if args.geometry == "chair":
+            gt_leaves = dict(albedo=tp["albedos"], boxes=tp["boxes"],
+                             yaw=tp["yaws"])
+        else:
+            gt_leaves = dict(albedo=tp["albedos"], radius=tp["radii"])
     if group == 1:
         for i in range(args.n_test_objects):
             oi = test_base + i
@@ -215,11 +241,18 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                 num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
             )
             want_img = idx[0] < args.save_images
+            gt_params = None
+            if gt_leaves is not None:
+                gt_params = dict(geometry=args.geometry, pattern=True,
+                                 hw=(args.size, args.size),
+                                 **{k: v[ois] for k, v in gt_leaves.items()})
             ev = evaluator.evaluate_objects(
-                imgs_g, poses_g, focals_g, exclude_views=[1],
+                None if gt_params is not None else imgs_g,
+                poses_g, focals_g, exclude_views=[1],
                 shape_codes=res.shape_codes,
                 texture_codes=res.texture_codes,
                 keys=jax.numpy.stack(k_evals), return_images=want_img,
+                gt_params=gt_params,
             )
             for j, i in enumerate(idx):
                 rows.append((f"heldout_{i}", float(ev["psnr"][j].mean()),
@@ -346,6 +379,13 @@ def main() -> None:
                          "(full-scale splits cost 6-45 min of the single "
                          "host core to regenerate; cached images load back "
                          "memory-mapped)")
+    ap.add_argument("--device_gt", action="store_true",
+                    help="render eval ground truth ON DEVICE from the "
+                         "synthetic generation params instead of shipping "
+                         "uint8 GT pixels over the tunnel (~200 MB/group "
+                         "at 250 views x 128px — about half the eval "
+                         "wall); metrics match within last-ulp float "
+                         "noise. Requires --opt_group > 1")
     ap.add_argument("--scene_backend", type=str, default="numpy",
                     choices=("numpy", "jax"),
                     help="synthetic render backend: 'jax' batches every "
