@@ -970,6 +970,16 @@ class CodeOptimizer:
     # program (frozen weights replicated). Per-object results are
     # unchanged. The per-object methods stay single-dispatch.
     mesh: Optional[object] = None
+    # Eval-time overrides. The production recipe optimizes with a reduced
+    # sample budget (``--opt_samples``) and/or the category occupancy grid
+    # (``--opt_occ``) but scores held-out views with the jsonfile's FULL
+    # budget and no grid, so metrics stay comparable across settings.
+    # ``eval_hp`` (default: ``hp``) is the config the eval renderers are
+    # built from; ``eval_occ=False`` drops the grid at eval. One instance
+    # then serves both loops — one eval compile per config instead of a
+    # second CodeOptimizer.
+    eval_hp: Optional[Hparams] = None
+    eval_occ: bool = True
 
     def __post_init__(self):
         if self.occ_grid is not None and self.hp.render.shared_jitter:
@@ -1033,8 +1043,9 @@ class CodeOptimizer:
         truth is rendered ON DEVICE by ``gt_render(c2w, focal, gt)``
         instead of crossing the tunnel (synthetic protocols only — see
         :func:`codenerf_tpu.data.synthetic.make_gt_view_renderer`)."""
-        net_cfg, rcfg = self.hp.net, self.hp.render
-        compute_dtype = resolve_dtype(self.hp.compute_dtype)
+        ehp = self.eval_hp or self.hp
+        net_cfg, rcfg = ehp.net, ehp.render
+        compute_dtype = resolve_dtype(ehp.compute_dtype)
         from codenerf_tpu.renderer import chunk_plan, pad_rays
 
         chunk, n_chunks, n_padded = chunk_plan(H * W, chunk)
@@ -1283,7 +1294,8 @@ class CodeOptimizer:
             gts_arg,
             pad_objs(jnp.asarray(shape_codes)),
             pad_objs(jnp.asarray(texture_codes)),
-            pad_objs(jnp.asarray(keys)), self.occ_grid,
+            pad_objs(jnp.asarray(keys)),
+            self.occ_grid if self.eval_occ else None,
         )
         out = {
             "views": np.asarray(idxs),
@@ -1325,7 +1337,8 @@ class CodeOptimizer:
             jnp.asarray(poses[idxs]), jnp.asarray(focal),
             jnp.asarray(gts) if gts.dtype == np.uint8
             else jnp.asarray(gts, dtype=jnp.float32),
-            shape_code, texture_code, key, self.occ_grid,
+            shape_code, texture_code, key,
+            self.occ_grid if self.eval_occ else None,
         )
         out = {
             "views": np.asarray(idxs),

@@ -75,3 +75,37 @@ def restore_raw(ckpt_dir: str, step: Optional[int] = None) -> Any:
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {ckpt_dir}")
     return ocp.StandardCheckpointer().restore(_step_dir(ckpt_dir, step))
+
+
+def save_reference_codes(path: str, ids, num_obj: int, shape_codes,
+                         texture_codes, psnr_eval, ssim_eval) -> None:
+    """Write the reference ``Optimizer``'s ``codes.pth`` payload.
+
+    Field-for-field the dict ``src/optimizer.py:137-147`` torch-saves after
+    every object: ``ids`` (the sorted object-id array, ``src/data.py:50``),
+    ``num_obj`` (index of the last completed object), the ``(n, latent)``
+    float tensors of optimized codes (zero rows for objects not yet
+    reached), and the per-object-INDEX dicts of per-view PSNR/SSIM lists
+    (``src/optimizer.py:168-182`` keys them by object index, not id). A
+    downstream consumer of the reference's outputs can ``torch.load`` this
+    file unchanged — the counterpart of
+    ``tools/export_reference_checkpoint.py`` for the codes artifact.
+
+    ``psnr_eval`` / ``ssim_eval`` map int object index -> sequence of
+    per-view values.
+    """
+    import numpy as np
+    import torch
+
+    torch.save({
+        "ids": np.asarray(ids),
+        "num_obj": int(num_obj),
+        "optimized_shapecodes": torch.from_numpy(
+            np.asarray(shape_codes, dtype=np.float32)),
+        "optimized_texturecodes": torch.from_numpy(
+            np.asarray(texture_codes, dtype=np.float32)),
+        "psnr_eval": {int(k): [float(x) for x in v]
+                      for k, v in psnr_eval.items()},
+        "ssim_eval": {int(k): [float(x) for x in v]
+                      for k, v in ssim_eval.items()},
+    }, path)

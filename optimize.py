@@ -10,8 +10,13 @@ only against the ``--tgt_instances`` views (lr halved every
 Outputs under ``<exps_root>/<saved_dir>/test[_N]/`` (numbered like the
 reference, ``src/optimizer.py:224-232``):
   codes.npz        optimized codes + per-view PSNR/SSIM per object
+  codes.pth        the same payload in the reference's torch format
+                   (``src/optimizer.py:137-147``) for downstream interop
   results.json     summary metrics
   <obj_id>/*.png   optional side-by-side renders (--save_img)
+
+``--pose_opt`` dispatches to the joint pose+code optimization entry point
+(tools/pose_opt.py) with the remaining flags.
 """
 
 import argparse
@@ -35,7 +40,26 @@ def _unique_test_dir(base: str) -> str:
 
 
 def main() -> None:
+    import sys
+
+    if "--pose_opt" in sys.argv:
+        # Dispatch to the joint pose+code optimization entry point with the
+        # remaining flags (tools/pose_opt.py owns that protocol's surface:
+        # --tgt_instance, --perturb_rot/--perturb_trans, --rays_per_step...).
+        import runpy
+
+        sys.argv = [a for a in sys.argv if a != "--pose_opt"]
+        runpy.run_path(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "pose_opt.py"),
+            run_name="__main__")
+        return
+
     parser = argparse.ArgumentParser(description="Optimize CodeNeRF codes")
+    parser.add_argument("--pose_opt", action="store_true",
+                        help="run joint camera-pose + code optimization "
+                             "instead (delegates every other flag to "
+                             "tools/pose_opt.py — see its --help)")
     parser.add_argument("--gpu", type=int, default=0,
                         help="ignored (reference compatibility)")
     parser.add_argument("--saved_dir", type=str, default="default")
@@ -90,8 +114,6 @@ def main() -> None:
                              "with identical per-object results")
     args = parser.parse_args()
 
-    import sys
-
     if args.gpu != 0:
         print(
             f"WARNING: --gpu={args.gpu} is ignored: device selection is "
@@ -113,7 +135,8 @@ def main() -> None:
     from codenerf_tpu.data.srn import SRNDataset
     from codenerf_tpu.models.codes import mean_code
     from codenerf_tpu.optimization.codes_opt import CodeOptimizer
-    from codenerf_tpu.utils.checkpoint import restore_raw
+    from codenerf_tpu.utils.checkpoint import (restore_raw,
+                                               save_reference_codes)
     from codenerf_tpu.utils.images import save_png, side_by_side
 
     hp = load_hparams(args.jsonfile)
@@ -169,21 +192,20 @@ def main() -> None:
             hp, render=dataclasses.replace(hp.render,
                                            n_samples=args.opt_samples))
 
-    mk = dict(
+    # Held-out metrics stay comparable whatever the optimization loop used:
+    # evaluation always renders the jsonfile's full sample budget without
+    # the grid (same policy as tools/quality_report.py) — eval_hp/eval_occ
+    # make ONE optimizer serve both loops, one eval compile per config.
+    optimizer = CodeOptimizer(
         params=trainables["params"],
         mean_shape=mean_code(jnp.asarray(trainables["shape_codes"])),
         mean_texture=mean_code(jnp.asarray(trainables["texture_codes"])),
         fine_params=trainables.get("fine_params"),
         chunk=args.batchsize,
         mesh=mesh,
+        hp=opt_hp, occ_grid=occ, opt_rays=args.opt_rays,
+        eval_hp=hp, eval_occ=False,
     )
-    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ,
-                              opt_rays=args.opt_rays, **mk)
-    # Held-out metrics stay comparable whatever the optimization loop used:
-    # evaluation always renders the jsonfile's full sample budget without
-    # the grid (same policy as tools/quality_report.py).
-    evaluator = (optimizer if (opt_hp is hp and occ is None)
-                 else CodeOptimizer(hp=hp, **mk))
 
     with open(os.path.join(save_dir, "opt_hpams.json"), "w") as f:
         json.dump({"instance_ids": args.tgt_instances, "lr": args.lr,
@@ -242,6 +264,14 @@ def main() -> None:
                                  f"{v}_{len(args.tgt_instances)}.png"),
                     side_by_side(ev_images[j], imgs[v]),
                 )
+
+    def flush(num_obj):
+        """Write the artifact files: codes.npz + results.json (native
+        formats) and the reference's torch ``codes.pth`` payload
+        (``src/optimizer.py:137-147``) so both of the reference's output
+        artifacts round-trip. Called once per object on the sequential
+        path (the reference saves per object too) and once per GROUP on
+        the batched path (not per object — O(n) file writes, not O(n²))."""
         np.savez(os.path.join(save_dir, "codes.npz"), **out)
         with open(os.path.join(save_dir, "results.json"), "w") as f:
             json.dump({"per_object": summary,
@@ -251,6 +281,18 @@ def main() -> None:
                        "mean_ssim": float(np.mean([s["ssim"]
                                                    for s in summary]))},
                       f, indent=2)
+        save_reference_codes(
+            os.path.join(save_dir, "codes.pth"),
+            ids=out["ids"], num_obj=num_obj,
+            shape_codes=out["optimized_shapecodes"],
+            texture_codes=out["optimized_texturecodes"],
+            # the reference keys these dicts by object INDEX
+            # (src/optimizer.py:168-182); ours are keyed by id string
+            psnr_eval={i: psnr_eval[d] for i, d in enumerate(ds.ids)
+                       if d in psnr_eval},
+            ssim_eval={i: ssim_eval[d] for i, d in enumerate(ds.ids)
+                       if d in ssim_eval},
+        )
 
     if group == 1:
         for oi in range(n):
@@ -278,7 +320,7 @@ def main() -> None:
                 for t in range(prog.shape[0]):
                     save_png(os.path.join(obj_dir, f"opt{t:03d}_{v0}.png"),
                              side_by_side(prog[t], gt_v0))
-            ev = evaluator.evaluate_object(
+            ev = optimizer.evaluate_object(
                 imgs, poses, focal, args.tgt_instances,
                 res.shape_code, res.texture_code, k_eval,
                 return_images=args.save_img,
@@ -287,6 +329,7 @@ def main() -> None:
             emit(oi, imgs, res.shape_code, res.texture_code,
                  res.psnr_history, ev["psnr"], ev["ssim"], ev["views"],
                  ev.get("images") if args.save_img else None)
+            flush(oi)
     else:
         # Batched path: G objects per dispatch; per-object keys follow
         # the same split pattern as the sequential loop, so codes.npz /
@@ -307,7 +350,7 @@ def main() -> None:
                 jnp.stack(ks_opt), num_opts=args.num_opts, lr=args.lr,
                 lr_half_interval=args.lr_half_interval,
             )
-            ev = evaluator.evaluate_objects(
+            ev = optimizer.evaluate_objects(
                 imgs_g, poses_g, focals_g, args.tgt_instances,
                 res.shape_codes, res.texture_codes, jnp.stack(ks_eval),
                 return_images=args.save_img,
@@ -318,6 +361,7 @@ def main() -> None:
                      res.texture_codes[j], res.psnr_history[:, j],
                      ev["psnr"][j], ev["ssim"][j], ev["views"],
                      ev["images"][j] if args.save_img else None)
+            flush(idx[-1])
     print("done:", json.dumps(summary[-1] if summary else {}))
 
 

@@ -107,6 +107,27 @@ def test_train_then_optimize_cli(workdir):
     obj_dirs = [d for d in test_dir.iterdir() if d.is_dir()]
     assert obj_dirs and any(list(d.glob("*.png")) for d in obj_dirs)
 
+    # the reference-format torch payload (src/optimizer.py:137-147) is
+    # written alongside: same keys, shapes, and values as the native files
+    import torch
+
+    ref = torch.load(test_dir / "codes.pth", weights_only=False)
+    assert set(ref) == {"ids", "num_obj", "optimized_shapecodes",
+                        "optimized_texturecodes", "psnr_eval", "ssim_eval"}
+    assert ref["num_obj"] == 1  # last completed object index
+    assert list(ref["ids"]) == list(codes["ids"])
+    assert isinstance(ref["optimized_shapecodes"], torch.Tensor)
+    assert tuple(ref["optimized_shapecodes"].shape) == (2, 8)
+    np.testing.assert_allclose(ref["optimized_texturecodes"].numpy(),
+                               codes["optimized_texturecodes"], atol=0)
+    # per-view metric dicts are keyed by object INDEX like the reference
+    assert set(ref["psnr_eval"]) == {0, 1}
+    for i, obj_id in enumerate(codes["ids"]):
+        np.testing.assert_allclose(ref["psnr_eval"][i],
+                                   results["psnr_eval"][obj_id], rtol=1e-6)
+        np.testing.assert_allclose(ref["ssim_eval"][i],
+                                   results["ssim_eval"][obj_id], rtol=1e-6)
+
     # a second optimize run gets a numbered dir (reference behavior)
     r4 = _run(
         [os.path.join(REPO, "optimize.py"), "--saved_dir", "run1",
@@ -202,6 +223,29 @@ def test_pose_opt_cli(workdir, trained_run):
         assert np.isfinite(row["rot_err_deg_after"])
         assert np.isfinite(row["psnr_last"])
     assert any(pose_dir.glob("*.png"))
+
+
+def test_pose_opt_via_optimize_cli(workdir, trained_run):
+    """`optimize.py --pose_opt` (the flag SURVEY §8's r4 addendum names)
+    dispatches to the pose-opt entry point with the remaining flags."""
+    exp = workdir / "exps" / trained_run
+    before = {d.name for d in exp.iterdir() if d.name.startswith("pose_opt")}
+    r = _run(
+        [os.path.join(REPO, "optimize.py"), "--pose_opt",
+         "--saved_dir", trained_run, "--jsonfile", "jsonfiles/tiny.json",
+         "--splits", "test", "--tgt_instance", "1", "--num_opts", "4",
+         "--lr_half_interval", "2", "--rays_per_step", "128",
+         "--perturb_rot", "4", "--save_img", "false"],
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    after = {d.name for d in exp.iterdir() if d.name.startswith("pose_opt")}
+    new = after - before
+    assert len(new) == 1, (before, after)
+    with open(exp / new.pop() / "results.json") as f:
+        results = json.load(f)
+    assert len(results["per_object"]) == 2
+    assert np.isfinite(results["mean_rot_err_deg_after"])
 
 
 def test_edit_cli(workdir, trained_run):

@@ -216,6 +216,54 @@ def test_codes_opt_with_occupancy_grid(trained):
             occ_grid=grid)
 
 
+def test_eval_overrides_single_optimizer(trained):
+    """eval_hp/eval_occ: ONE CodeOptimizer built with opt-time overrides
+    (reduced sample budget + occupancy grid) must evaluate bitwise like a
+    dedicated full-budget no-grid evaluator — the production-recipe policy
+    optimize.py/quality_report encode without a second instance."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from codenerf_tpu.core.occupancy import OccupancyGrid, grid_cell_centers
+
+    opt, tr, scene, hp = _make_optimizer(trained)
+    G = 8
+    centers = grid_cell_centers(G, 1.4).reshape(G, G, G, 3)
+    grid = OccupancyGrid(occ=jnp.linalg.norm(centers, axis=-1) < 1.1,
+                         radius=jnp.asarray(1.4, jnp.float32))
+    opt_hp = dc.replace(hp, render=dc.replace(hp.render, n_samples=6))
+
+    combined = CodeOptimizer(
+        params=opt.params, hp=opt_hp, mean_shape=opt.mean_shape,
+        mean_texture=opt.mean_texture, chunk=256, occ_grid=grid,
+        eval_hp=hp, eval_occ=False)
+    plain = CodeOptimizer(
+        params=opt.params, hp=hp, mean_shape=opt.mean_shape,
+        mean_texture=opt.mean_texture, chunk=256)
+
+    imgs = _images_f32(scene, 0)
+    poses, focal = scene["poses"][0], float(scene["focals"][0])
+    res = combined.optimize_object(imgs, poses, focal, tgt_views=[0],
+                                   key=jax.random.PRNGKey(5), num_opts=6,
+                                   lr=1e-2, lr_half_interval=3)
+    kw = dict(exclude_views=[0], shape_code=res.shape_code,
+              texture_code=res.texture_code, key=jax.random.PRNGKey(9))
+    ev_a = combined.evaluate_object(imgs, poses, focal, **kw)
+    ev_b = plain.evaluate_object(imgs, poses, focal, **kw)
+    np.testing.assert_array_equal(ev_a["psnr"], ev_b["psnr"])
+    np.testing.assert_array_equal(ev_a["ssim"], ev_b["ssim"])
+    # and the batched sweep honors the same overrides
+    ks = jnp.stack([jax.random.PRNGKey(9)])
+    ev_ma = combined.evaluate_objects(
+        imgs[None], poses[None], np.asarray([focal], np.float32), [0],
+        res.shape_code[None], res.texture_code[None], ks)
+    ev_mb = plain.evaluate_objects(
+        imgs[None], poses[None], np.asarray([focal], np.float32), [0],
+        res.shape_code[None], res.texture_code[None], ks)
+    np.testing.assert_array_equal(ev_ma["psnr"], ev_mb["psnr"])
+
+
 def test_pose_optimization_recovers_perturbation(trained):
     opt, tr, scene, hp = _make_optimizer(trained)
     obj, view = 0, 2

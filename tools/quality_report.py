@@ -123,11 +123,15 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     t0 = time.time()
     trainer = Trainer(f"quality_s{seed}", hp, batch_size=8192,
                       dataset=train_scene, exps_root=out_dir, check_iter=0)
+    if args.resume_train and trainer.resume():
+        print(f"[seed {seed}] resumed training checkpoint at step "
+              f"{int(trainer.state.step)}", flush=True)
     m = trainer.training(iters_crop=args.steps // 6, iters_all=args.steps,
                          log_every=max(100, args.steps // 10))
     train_time = time.time() - t0
     print(f"[seed {seed}] train: {args.steps} steps in {train_time:.0f}s, "
-          f"final train psnr {m['psnr']:.2f} dB", flush=True)
+          f"final train psnr {m.get('psnr', float('nan')):.2f} dB",
+          flush=True)
 
     tr = trainer.state.trainables
     if args.occ and trainer.occupancy_grid is not None:
@@ -150,18 +154,22 @@ def run_once(args, seed: int, out_dir: str) -> dict:
               mean_shape=mean_code(tr["shape_codes"]),
               mean_texture=mean_code(tr["texture_codes"]),
               chunk=4096)
-    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ,
-                              opt_rays=args.opt_rays, **mk)
     # Held-out metrics stay comparable across rows: evaluation always
     # renders the full sample budget without the grid, whatever the
-    # optimization loop used.
-    evaluator = (optimizer if (opt_hp is hp and occ is None)
-                 else CodeOptimizer(hp=hp, **mk))
+    # optimization loop used (eval_hp/eval_occ -> one optimizer, one
+    # eval compile per config).
+    optimizer = CodeOptimizer(hp=opt_hp, occ_grid=occ,
+                              opt_rays=args.opt_rays,
+                              eval_hp=hp, eval_occ=False, **mk)
+    evaluator = optimizer
 
     rows = []
     t_test0 = time.time()
     key = jax.random.PRNGKey(seed)
     group = max(1, args.opt_group)
+    # Conditioning views (the reference's --tgt_instances takes a list,
+    # optimize.py:16 / src/optimizer.py:73); eval excludes all of them.
+    tgt = [int(v) for v in str(args.tgt_views).split(",")]
     gt_leaves = None
     if args.device_gt:
         # Eval GT renders ON DEVICE from the generation parameters —
@@ -198,12 +206,12 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             focal = float(test_scene["focals"][oi])
             key, k_opt, k_eval = jax.random.split(key, 3)
             res = optimizer.optimize_object(
-                imgs, poses, focal, tgt_views=[1], key=k_opt,
+                imgs, poses, focal, tgt_views=tgt, key=k_opt,
                 num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
             )
             want_img = i < args.save_images
             ev = evaluator.evaluate_object(
-                imgs, poses, focal, exclude_views=[1],
+                imgs, poses, focal, exclude_views=tgt,
                 shape_code=res.shape_code, texture_code=res.texture_code,
                 key=k_eval, return_images=want_img,
             )
@@ -236,7 +244,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                 k_opts.append(k_opt)
                 k_evals.append(k_eval)
             res = optimizer.optimize_objects(
-                imgs_g, poses_g, focals_g, tgt_views=[1],
+                imgs_g, poses_g, focals_g, tgt_views=tgt,
                 keys=jax.numpy.stack(k_opts),
                 num_opts=args.num_opts, lr=1e-2, lr_half_interval=50,
             )
@@ -248,7 +256,7 @@ def run_once(args, seed: int, out_dir: str) -> dict:
                                  **{k: v[ois] for k, v in gt_leaves.items()})
             ev = evaluator.evaluate_objects(
                 None if gt_params is not None else imgs_g,
-                poses_g, focals_g, exclude_views=[1],
+                poses_g, focals_g, exclude_views=tgt,
                 shape_codes=res.shape_codes,
                 texture_codes=res.texture_codes,
                 keys=jax.numpy.stack(k_evals), return_images=want_img,
@@ -290,9 +298,10 @@ def run_once(args, seed: int, out_dir: str) -> dict:
             f"opt_samples={args.opt_samples or args.samples}, "
             f"opt_rays={args.opt_rays or 'full-view'}\n"
             f"- training: {args.steps} steps (crop->full), "
-            f"{train_time:.0f}s wall; final train PSNR {m['psnr']:.2f} dB\n"
+            f"{train_time:.0f}s wall; final train PSNR "
+            f"{m.get('psnr', float('nan')):.2f} dB\n"
             f"- test-time optimization: mean-code init, {args.num_opts} "
-            "AdamW steps on view 1, lr 1e-2 halved/50 "
+            f"AdamW steps on view(s) {tgt}, lr 1e-2 halved/50 "
             "(src/optimizer.py:48-135 protocol); "
             f"{args.n_test_objects} objects optimized+evaluated in "
             f"{test_time:.0f}s wall "
@@ -307,7 +316,8 @@ def run_once(args, seed: int, out_dir: str) -> dict:
     print(f"[seed {seed}] mean held-out PSNR {mean_psnr:.2f} dB, "
           f"SSIM {mean_ssim:.4f}", flush=True)
     return {"seed": seed, "psnr": mean_psnr, "ssim": mean_ssim,
-            "train_psnr": float(m["psnr"]), "train_s": train_time,
+            "train_psnr": float(m.get("psnr", float("nan"))),
+            "train_s": train_time,
             "test_s": test_time,
             "per_object_psnr": [r[1] for r in rows]}
 
@@ -365,6 +375,18 @@ def main() -> None:
                     help="synthetic category: shaded spheres (cars-like "
                          "blob) or compound box chairs (thin legs + slabs "
                          "— the srnchair-style stress case)")
+    ap.add_argument("--resume_train", action="store_true",
+                    help="resume the training checkpoint under --out if "
+                    "one exists (skips straight to the test split when it "
+                    "is already at --steps) — lets several test-split "
+                    "variants (--tgt_views, --opt_rays) share one trained "
+                    "model")
+    ap.add_argument("--tgt_views", type=str, default="1",
+                    help="comma list of conditioning view indices for "
+                    "test-time optimization (the reference's "
+                    "--tgt_instances, optimize.py:16); eval excludes all "
+                    "of them — e.g. '1,120' probes multi-view "
+                    "conditioning")
     ap.add_argument("--opt_group", type=int, default=1,
                     help="test objects optimized+evaluated per dispatch "
                          "(batched multi-object code-opt; 1 = sequential "

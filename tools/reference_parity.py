@@ -277,38 +277,75 @@ def run_reference(workdir: str, iters: int, num_opts: int, batch_size: int,
 
 
 # ------------------------------------------------------------- framework side
+def _framework_hparams(workdir: str, data_root: str, quirks: bool):
+    """The A/B's framework-side config: parity.json + f32 compute, plus the
+    reference-quirk toggles when ``quirks`` (matched training dynamics:
+    shared z-jitter — SURVEY quirk #2; AdamW-moment reset + frozen lr per
+    reference epoch = n_objects steps — quirk #3; batch_size == H*W means
+    one chunk per step, so the first-chunk-only reg scaling — quirk #4 —
+    is 1/1)."""
+    from codenerf_tpu.config import hparams_from_dict, load_hparams
+    from codenerf_tpu.data.srn import SRNDataset
+
+    hp = load_hparams(os.path.join(workdir, "jsonfiles", "parity.json"))
+    raw = dict(hp.raw)
+    raw["compute_dtype"] = "float32"
+    train_ds = SRNDataset(cat="srn_cars", splits="cars_train",
+                          data_dir=data_root)
+    if quirks:
+        raw["shared_jitter"] = True
+        raw["reference_quirks"] = {
+            "optimizer_reset_every": train_ds.n_objects,
+            "reg_chunk_divisor": 1,
+        }
+    return hparams_from_dict(raw), train_ds
+
+
+def _framework_eval(trainables, hp, test_scene, tgt_view: int, num_opts: int,
+                    batch_size: int, quirks: bool) -> tuple[dict, dict]:
+    """The framework half of the eval protocol: mean-code init, num_opts
+    code-only AdamW steps on the target view, PSNR/SSIM over the remaining
+    views. Deterministic per-object PRNG keys, so calling this at several
+    training budgets scores the SAME protocol each time."""
+    import jax
+
+    from codenerf_tpu.models.codes import mean_code
+    from codenerf_tpu.optimization.codes_opt import CodeOptimizer
+
+    opt = CodeOptimizer(
+        params=trainables["params"], hp=hp,
+        mean_shape=mean_code(trainables["shape_codes"]),
+        mean_texture=mean_code(trainables["texture_codes"]),
+        chunk=min(4096, batch_size),
+        reference_resets=quirks,
+    )
+    images = test_scene["images"].astype(np.float32) / 255.0
+    per_obj_psnr, per_obj_ssim = {}, {}
+    for oi in range(images.shape[0]):
+        key = jax.random.PRNGKey(1000 + oi)
+        res = opt.optimize_object(images[oi], test_scene["poses"][oi],
+                                  float(test_scene["focals"][oi]),
+                                  [tgt_view], key, num_opts=num_opts,
+                                  lr=1e-2, lr_half_interval=50)
+        ev = opt.evaluate_object(images[oi], test_scene["poses"][oi],
+                                 float(test_scene["focals"][oi]),
+                                 [tgt_view], res.shape_code,
+                                 res.texture_code,
+                                 jax.random.PRNGKey(2000 + oi))
+        per_obj_psnr[oi] = float(np.mean(ev["psnr"]))
+        per_obj_ssim[oi] = float(np.mean(ev["ssim"]))
+    return per_obj_psnr, per_obj_ssim
+
+
 def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
                   batch_size: int, tgt_view: int, test_scene, log,
                   quirks: bool = True, iters_crop: int = 0,
                   export_pth: str | None = None) -> dict:
     import jax
-    import jax.numpy as jnp
 
-    from codenerf_tpu.config import load_hparams
-    from codenerf_tpu.data.srn import SRNDataset
-    from codenerf_tpu.models.codes import mean_code
-    from codenerf_tpu.optimization.codes_opt import CodeOptimizer
     from codenerf_tpu.training.trainer import Trainer
 
-    hp = load_hparams(os.path.join(workdir, "jsonfiles", "parity.json"))
-    raw = dict(hp.raw)
-    raw["compute_dtype"] = "float32"
-    if quirks:
-        # Matched training dynamics: shared z-jitter (SURVEY quirk #2),
-        # AdamW-moment reset + frozen lr per reference epoch (= n_objects
-        # steps, quirk #3). batch_size == H*W means one chunk per step, so
-        # the reference's first-chunk-only reg scaling (quirk #4) is 1/1.
-        raw["shared_jitter"] = True
-    train_ds = SRNDataset(cat="srn_cars", splits="cars_train",
-                          data_dir=data_root)
-    if quirks:
-        raw["reference_quirks"] = {
-            "optimizer_reset_every": train_ds.n_objects,
-            "reg_chunk_divisor": 1,
-        }
-    from codenerf_tpu.config import hparams_from_dict
-
-    hp = hparams_from_dict(raw)
+    hp, train_ds = _framework_hparams(workdir, data_root, quirks)
 
     t0 = time.time()
     tr = Trainer(("quirks_run" if quirks else "clean_run"), hp,
@@ -331,31 +368,10 @@ def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
                                           niter=iters)
         os.makedirs(os.path.dirname(export_pth), exist_ok=True)
         torch.save(payload, export_pth)
-    opt = CodeOptimizer(
-        params=trainables["params"], hp=hp,
-        mean_shape=mean_code(trainables["shape_codes"]),
-        mean_texture=mean_code(trainables["texture_codes"]),
-        chunk=min(4096, batch_size),
-        reference_resets=quirks,
-    )
     t0 = time.time()
-    images = test_scene["images"].astype(np.float32) / 255.0
-    per_obj_psnr, per_obj_ssim = {}, {}
-    for oi in range(images.shape[0]):
-        key = jax.random.PRNGKey(1000 + oi)
-        res = opt.optimize_object(images[oi], test_scene["poses"][oi],
-                                  float(test_scene["focals"][oi]),
-                                  [tgt_view], key, num_opts=num_opts,
-                                  lr=1e-2, lr_half_interval=50)
-        ev = opt.evaluate_object(images[oi], test_scene["poses"][oi],
-                                 float(test_scene["focals"][oi]),
-                                 [tgt_view], res.shape_code,
-                                 res.texture_code,
-                                 jax.random.PRNGKey(2000 + oi))
-        per_obj_psnr[oi] = float(np.mean(ev["psnr"]))
-        per_obj_ssim[oi] = float(np.mean(ev["ssim"]))
+    per_obj_psnr, per_obj_ssim = _framework_eval(
+        trainables, hp, test_scene, tgt_view, num_opts, batch_size, quirks)
     opt_s = time.time() - t0
-    del jnp
     return {
         "impl": f"codenerf_tpu ({'quirks-matched' if quirks else 'clean'})",
         "per_object_psnr": per_obj_psnr,
@@ -365,6 +381,132 @@ def run_framework(workdir: str, data_root: str, iters: int, num_opts: int,
         "train_seconds": train_s,
         "optimize_seconds": opt_s,
     }
+
+
+# ------------------------------------------------------------- budget curves
+def run_reference_curve(workdir: str, budgets: list[int], num_opts: int,
+                        batch_size: int, tgt_view: int, log,
+                        n_eval_views: int = 250) -> list[dict]:
+    """Train the reference's own ``Trainer`` ONCE, pausing at each budget to
+    run its full eval protocol — the reference side of the margin-vs-budget
+    curve. In-process continuation IS the reference's own loop semantics
+    (``src/trainer.py:37``: ``while self.niter < iters_all``), and
+    ``models.pth`` is rewritten at every epoch end (``src/trainer.py:45``),
+    so the eval at budget b scores exactly the b-step weights (budgets must
+    be multiples of n_train_objects — epochs advance niter by that much)."""
+    ref_trainer_mod, _ = _ref_modules()
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        with _patched_torch_cpu(), contextlib.redirect_stdout(log):
+            tr = ref_trainer_mod.Trainer("ref_run", gpu=0,
+                                         jsonfile="parity.json",
+                                         batch_size=batch_size)
+    finally:
+        os.chdir(cwd)
+    points = []
+    for b in budgets:
+        t0 = time.time()
+        os.chdir(workdir)
+        try:
+            with _patched_torch_cpu(), contextlib.redirect_stdout(log):
+                tr.training(0, b, num_instances_per_obj=1)
+        finally:
+            os.chdir(cwd)
+        train_s = time.time() - t0
+        pt = run_reference_eval(workdir, "ref_run", num_opts, batch_size,
+                                tgt_view, log, f"reference@{b}",
+                                n_eval_views=n_eval_views,
+                                freeze_weights=True)
+        pt["iters"], pt["train_seconds"] = b, train_s
+        points.append(pt)
+        print(f"  reference @{b}: {pt['psnr']:.2f} dB / {pt['ssim']:.4f} "
+              f"(+{train_s:.0f}s train, {pt['optimize_seconds']:.0f}s eval)",
+              flush=True)
+    return points
+
+
+def run_framework_curve(workdir: str, data_root: str, budgets: list[int],
+                        num_opts: int, batch_size: int, tgt_view: int,
+                        test_scene, log, quirks: bool = True) -> list[dict]:
+    """Framework side of the margin-vs-budget curve: one Trainer continued
+    in-process through the budget list (``Trainer.training`` resumes from
+    ``state.step``), full eval protocol at each pause with per-object
+    deterministic keys."""
+    from codenerf_tpu.training.trainer import Trainer
+
+    hp, train_ds = _framework_hparams(workdir, data_root, quirks)
+    tr = Trainer(("quirks_run" if quirks else "clean_run"), hp,
+                 batch_size=batch_size, dataset=train_ds,
+                 exps_root=os.path.join(workdir, "exps"), check_iter=0)
+    points = []
+    for b in budgets:
+        t0 = time.time()
+        with contextlib.redirect_stdout(log):
+            tr.training(iters_crop=0, iters_all=b,
+                        log_every=max(b // 4, 1))
+        train_s = time.time() - t0
+        t0 = time.time()
+        pp, ps = _framework_eval(tr.state.trainables, hp, test_scene,
+                                 tgt_view, num_opts, batch_size, quirks)
+        points.append({
+            "impl": f"codenerf_tpu@{b}", "iters": b,
+            "per_object_psnr": pp, "per_object_ssim": ps,
+            "psnr": float(np.mean(list(pp.values()))),
+            "ssim": float(np.mean(list(ps.values()))),
+            "train_seconds": train_s,
+            "optimize_seconds": time.time() - t0,
+        })
+        pt = points[-1]
+        print(f"  ours @{b}: {pt['psnr']:.2f} dB / {pt['ssim']:.4f} "
+              f"(+{train_s:.0f}s train, {pt['optimize_seconds']:.0f}s eval)",
+              flush=True)
+    return points
+
+
+def write_budget_report(path: str, args, budgets: list[int],
+                        per_seed: dict, section: str) -> None:
+    """Append the margin-vs-budget section: one table per seed, then the
+    terminal-margin summary with an across-seed error bar and the
+    reference's final-doubling improvement (the plateau evidence)."""
+    lines = [f"## {section}", "",
+             f"Generated by `tools/reference_parity.py --budget_curve` on "
+             f"{time.strftime('%Y-%m-%d')}. Same miniature A/B protocol as "
+             "the seed table above (identical synthetic SRN data per seed; "
+             "reference = its own `Trainer`/`Optimizer` on torch CPU, "
+             "framework = quirks-matched"
+             + (", on the TPU chip — same f32 math"
+                if args.ours_platform == "tpu" else "")
+             + "). BOTH sides pause at each training budget and are scored "
+             f"with the full reference eval protocol (mean-code init, "
+             f"{args.num_opts} code-only AdamW steps on view "
+             f"{args.tgt_view}, PSNR/SSIM over the remaining "
+             f"{args.n_eval_views - 1} views of {args.n_test} held-out "
+             "objects).", ""]
+    for seed, d in per_seed.items():
+        lines += [f"Seed {seed} (held-out PSNR, dB):", "",
+                  "| train iters | reference | codenerf_tpu | margin |",
+                  "|---|---|---|---|"]
+        for rp, op in zip(d["reference"], d["framework"]):
+            lines.append(f"| {rp['iters']} | {rp['psnr']:.2f} "
+                         f"| {op['psnr']:.2f} "
+                         f"| {op['psnr'] - rp['psnr']:+.2f} |")
+        lines.append("")
+    margins = [d["framework"][-1]["psnr"] - d["reference"][-1]["psnr"]
+               for d in per_seed.values()]
+    ref_gain = [d["reference"][-1]["psnr"] - d["reference"][-2]["psnr"]
+                for d in per_seed.values()]
+    ours_gain = [d["framework"][-1]["psnr"] - d["framework"][-2]["psnr"]
+                 for d in per_seed.values()]
+    lines += [
+        f"**Terminal margin at {budgets[-1]} iters: "
+        f"{np.mean(margins):+.2f} ± {np.std(margins):.2f} dB over "
+        f"{len(per_seed)} seeds.** Final budget doubling "
+        f"({budgets[-2]} → {budgets[-1]} iters) moves the reference by "
+        f"{np.mean(ref_gain):+.2f} dB and the framework by "
+        f"{np.mean(ours_gain):+.2f} dB (seed means).", ""]
+    with open(path, "a") as f:
+        f.write("\n" + "\n".join(lines))
 
 
 # --------------------------------------------------------------------- report
@@ -511,6 +653,17 @@ def main():
                     "reference's models.pth and run the REFERENCE'S OWN "
                     "Optimizer eval on them — parity with zero shared code "
                     "on the scoring side")
+    ap.add_argument("--budget_curve", default=None,
+                    help="comma list of training budgets (iters), e.g. "
+                    "'600,1200,2400,4800,9600': train BOTH sides once each, "
+                    "pausing at every budget for the full eval protocol — "
+                    "the margin-vs-budget curve that shows whether the "
+                    "reference's PSNR has plateaued (each budget must be a "
+                    "multiple of --n_train). Appends a report section and "
+                    "writes <workdir>/budget_curve.json")
+    ap.add_argument("--curve_seeds", default=None,
+                    help="comma list of seeds for --budget_curve (fresh "
+                    "scenes + inits per seed; default: just --seed)")
     ap.add_argument("--report", default=os.path.join(REPO, "docs",
                                                      "REFERENCE_PARITY.md"))
     args = ap.parse_args()
@@ -528,9 +681,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.workdir, exist_ok=True)
-    data_root, train_scene, test_scene = make_dataset(
-        args.workdir, args.n_train, args.n_test, args.size, args.seed,
-        n_eval_views=args.n_eval_views)
     net = {
         "shape_blocks": args.shape_blocks,
         "texture_blocks": args.texture_blocks,
@@ -539,8 +689,56 @@ def main():
         "num_dir_freq": args.dir_freq,
         "latent_dim": args.latent_dim,
     }
-    write_json(args.workdir, data_root, train_scene, args.n_samples, net=net)
     batch = args.size * args.size
+
+    if args.budget_curve:
+        budgets = sorted(int(x) for x in args.budget_curve.split(","))
+        assert all(b % args.n_train == 0 for b in budgets), (
+            "budgets must be multiples of --n_train (the reference trains "
+            "in whole epochs of n_train object-steps)")
+        seeds = ([int(s) for s in args.curve_seeds.split(",")]
+                 if args.curve_seeds else [args.seed])
+        per_seed = {}
+        for seed in seeds:
+            wd = os.path.join(args.workdir, f"seed_{seed}")
+            os.makedirs(wd, exist_ok=True)
+            data_root, train_scene, test_scene = make_dataset(
+                wd, args.n_train, args.n_test, args.size, seed,
+                n_eval_views=args.n_eval_views)
+            write_json(wd, data_root, train_scene, args.n_samples, net=net)
+            with open(os.path.join(wd, "run.log"), "w") as log:
+                print(f"[seed {seed}] reference curve (torch CPU)...",
+                      flush=True)
+                ref_pts = run_reference_curve(
+                    wd, budgets, args.num_opts, batch, args.tgt_view, log,
+                    n_eval_views=args.n_eval_views)
+                print(f"[seed {seed}] framework curve...", flush=True)
+                ours_pts = run_framework_curve(
+                    wd, data_root, budgets, args.num_opts, batch,
+                    args.tgt_view, test_scene, log)
+            per_seed[seed] = {"reference": ref_pts, "framework": ours_pts}
+        write_budget_report(args.report, args, budgets, per_seed,
+                            section=args.section or "Budget-matched parity")
+        with open(os.path.join(args.workdir, "budget_curve.json"), "w") as f:
+            json.dump({"args": vars(args), "budgets": budgets,
+                       "per_seed": per_seed}, f, indent=2)
+        margins = [per_seed[s]["framework"][-1]["psnr"]
+                   - per_seed[s]["reference"][-1]["psnr"] for s in seeds]
+        print(json.dumps({
+            "budgets": budgets, "seeds": seeds,
+            "terminal_margin_db_mean": float(np.mean(margins)),
+            "terminal_margin_db_std": float(np.std(margins)),
+            "ref_terminal_psnr": [per_seed[s]["reference"][-1]["psnr"]
+                                  for s in seeds],
+            "ours_terminal_psnr": [per_seed[s]["framework"][-1]["psnr"]
+                                   for s in seeds],
+        }))
+        return
+
+    data_root, train_scene, test_scene = make_dataset(
+        args.workdir, args.n_train, args.n_test, args.size, args.seed,
+        n_eval_views=args.n_eval_views)
+    write_json(args.workdir, data_root, train_scene, args.n_samples, net=net)
     export_pth = (os.path.join(args.workdir, "exps", "xeval_run",
                                "models.pth") if args.cross_eval else None)
 
