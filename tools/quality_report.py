@@ -369,7 +369,9 @@ def main() -> None:
                     help="stochastic code optimization: rays drawn per opt "
                          "step instead of rendering the full target view "
                          "every step (None = the exact reference protocol); "
-                         "eval is unaffected")
+                         "4096 measured quality-neutral at the 704-object "
+                         "full-scale protocol (paired -0.02 +/- 0.10 dB) at "
+                         "1.75x faster test splits; eval is unaffected")
     ap.add_argument("--geometry", type=str, default="sphere",
                     choices=["sphere", "chair"],
                     help="synthetic category: shaded spheres (cars-like "
